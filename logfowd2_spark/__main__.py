@@ -1,0 +1,64 @@
+"""CLI driver: ``spark-submit --py-files logfowd2_spark.zip -m`` or
+``python -m logfowd2_spark`` — the rebuild of the reference's ``main()``
+(src/main.rs:61-192), collapsed to: load config → build session → run
+uncommitted batches → print metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.session import build_session
+from logfowd2_spark.streaming.pipeline import run_pipeline
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logfowd2_spark")
+    ap.add_argument("--config", help="JSON config file (or $CFG_PATH)")
+    ap.add_argument("--input", help="sequences parquet dir (overrides config)")
+    ap.add_argument("--output", help="output root dir (overrides config)")
+    ap.add_argument("--checkpoint", help="checkpoint dir (overrides config)")
+    ap.add_argument("--pods", required=True, help="pods dimension parquet")
+    ap.add_argument("--routes", required=True, help="routes map parquet")
+    ap.add_argument("--files-per-batch", type=int, default=0,
+                    help="0 = single batch over the whole input")
+    ap.add_argument("--master", default=None, help="spark master override")
+    args = ap.parse_args(argv)
+
+    cfg = PipelineConfig.load(args.config)
+    if args.input:
+        cfg.input_path = args.input
+    if args.output:
+        cfg.output_path = args.output
+    if args.checkpoint:
+        cfg.checkpoint_path = args.checkpoint
+    if not (cfg.input_path and cfg.output_path and cfg.checkpoint_path):
+        ap.error("input/output/checkpoint must be set via flags or config")
+    cfg.validate()
+
+    spark = build_session(master=args.master,
+                          shuffle_partitions=cfg.shuffle_partitions)
+    try:
+        metrics = run_pipeline(
+            spark, cfg, args.pods, args.routes,
+            files_per_batch=args.files_per_batch,
+        )
+        for m in metrics:
+            print(json.dumps({
+                "rows_in": m.rows_in,
+                "rows_routed": m.rows_routed,
+                "parse_failures": m.parse_failures,
+                "sink_counts": m.sink_counts,
+                "conservation_ok": m.conservation_ok(),
+            }))
+        print(json.dumps({"batches_run": len(metrics)}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Token-array ↔ log-line codec, fully Arrow-vectorized.
+
+The pipeline's input (per BASELINE.json input_hint) is a table of
+pre-tokenized sequences ``(doc_id, tokens: array<int32>, n_tok, source)``.
+The codec is byte-level: ``token = utf8_byte + OFFSET`` (OFFSET=1000), so
+decode/encode are pure columnar buffer arithmetic — no vocab file, no
+per-row Python.  Decode constructs the output StringArray directly from
+the ListArray's value/offset buffers (zero row-loop anywhere); this is the
+columnar replacement for the reference's per-line BufReader loop
+(reference src/domain/file.rs:160-230).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+from pyspark.sql import Column
+
+TOKEN_OFFSET = 1000
+
+
+# ---------------------------------------------------------------------------
+# numpy/arrow kernels (shared by the Spark UDFs and the pandas test oracle)
+# ---------------------------------------------------------------------------
+
+def decode_tokens_arrow(series: pd.Series) -> pd.Series:
+    """Vectorized decode: pd.Series of int token arrays → pd.Series of str.
+
+    Goes through pyarrow: flatten the list column once, subtract OFFSET on
+    the flat values buffer, reinterpret as utf-8 bytes, and rebuild a
+    StringArray from (offsets, bytes) without touching individual rows.
+    """
+    la = pa.array(series.tolist(), type=pa.list_(pa.int32()))
+    # normalize potential slice offset
+    la = la.combine_chunks() if isinstance(la, pa.ChunkedArray) else la
+    values = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    byts = (values - TOKEN_OFFSET).astype(np.uint8)
+    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int32)
+    null_mask = la.is_null().to_numpy(zero_copy_only=False)
+    sa = pa.StringArray.from_buffers(
+        length=len(la),
+        value_offsets=pa.py_buffer(offsets.tobytes()),
+        data=pa.py_buffer(byts.tobytes()),
+    )
+    out = sa.to_pandas()
+    if null_mask.any():
+        out[null_mask] = None
+    return out
+
+
+def encode_lines_arrow(series: pd.Series) -> pd.Series:
+    """Vectorized encode: pd.Series of str → pd.Series of int32 arrays."""
+    sa = pa.array(series, type=pa.string())
+    sa = sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa
+    offsets_buf = sa.buffers()[1]
+    data_buf = sa.buffers()[2]
+    offs = np.frombuffer(
+        offsets_buf, dtype=np.int32, count=len(sa) + 1, offset=sa.offset * 4
+    )
+    start, end = int(offs[0]), int(offs[-1])
+    byts = np.frombuffer(data_buf, dtype=np.uint8, count=end)[start:end]
+    tokens = byts.astype(np.int32) + TOKEN_OFFSET
+    # build the ListArray directly from (flat values, offsets) — no row loop
+    rel = (offs - start).astype(np.int32)
+    la = pa.ListArray.from_arrays(
+        pa.array(rel, type=pa.int32()), pa.array(tokens, type=pa.int32())
+    )
+    out = la.to_pandas()
+    out.index = series.index
+    if series.isna().any():
+        out[series.isna()] = None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark column functions
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(StringType())
+def _decode_udf(tokens: pd.Series) -> pd.Series:
+    return decode_tokens_arrow(tokens)
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def _encode_udf(lines: pd.Series) -> pd.Series:
+    return encode_lines_arrow(lines)
+
+
+def decode_tokens(col: Column) -> Column:
+    """tokens array<int32> → utf-8 line (Arrow-vectorized pandas UDF)."""
+    return _decode_udf(col)
+
+
+def encode_line(col: Column) -> Column:
+    """utf-8 line → tokens array<int32> (Arrow-vectorized pandas UDF)."""
+    return _encode_udf(col)
+
+
+def decode_tokens_sql(col: Column) -> Column:
+    """Pure-JVM decode variant: transform+chr+concat, stays in codegen.
+
+    Only correct for ASCII payloads (chr() is codepoint-based, not
+    byte-based); used where the payload is known ASCII and we want zero
+    Python in the plan.  The pandas UDF variant is the general path.
+    """
+    return F.array_join(
+        F.transform(col, lambda t: F.chr(t - F.lit(TOKEN_OFFSET))), ""
+    )
+
+
+def encode_line_sql(col: Column) -> Column:
+    """Pure-JVM encode variant (ASCII-only), inverse of decode_tokens_sql."""
+    return F.transform(
+        F.split(col, ""), lambda c: F.ascii(c) + F.lit(TOKEN_OFFSET)
+    )

@@ -1,0 +1,111 @@
+"""Pipeline configuration — the rebuild of the reference's config surface.
+
+Mirrors the *spirit* of ``Settings`` (reference src/config/settings.rs:6-53,
+defaults at /root/reference/config.json): input location, batch sizing,
+line-size limits, sink routing, and the same hard-fail validation style
+(settings.rs:131-260).  Knobs that configured the reference's hand-rolled
+channel/backpressure machinery (settings.rs channels.*) have no Spark
+analogue and are intentionally absent — partition sizing and AQE replace
+them (SURVEY.md §2.7, §4.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+DEFAULT_LEVELS = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL"]
+
+# Generalization of the reference's daily ES index routing
+# (pool.rs:856-865): route key is (source, level); "*" is a wildcard;
+# first match wins, deterministic order.
+DEFAULT_ROUTES: list[tuple[str, str, str]] = [
+    ("app", "ERROR", "logs-app-error"),
+    ("app", "FATAL", "logs-app-error"),
+    ("app", "*", "logs-app"),
+    ("ingress", "*", "logs-ingress"),
+    ("sidecar", "ERROR", "logs-sidecar-error"),
+    ("sidecar", "*", "logs-sidecar"),
+    ("batch", "*", "logs-batch"),
+    ("system", "FATAL", "logs-system-fatal"),
+    ("*", "*", "logs-default"),
+]
+
+
+@dataclass
+class PipelineConfig:
+    """All pipeline knobs, validated like the reference validates Settings."""
+
+    # --- input / output locations (≈ log_path / es.* of the reference)
+    input_path: str = ""
+    output_path: str = ""
+    checkpoint_path: str = ""
+
+    # --- reference-parity knobs
+    # max_line_size: lines longer than this are truncated with a marker
+    # suffix (reference src/watcher.rs:86 default 1 MiB; src/domain/
+    # file.rs:553-634).
+    max_line_size: int = 1_048_576
+    truncation_suffix: str = "... [TRUNCATED]"
+    # read_existing_on_startup ≈ start from snapshot 0 vs current
+    # watermark (reference src/domain/file.rs:233-248).
+    read_existing_on_startup: bool = True
+    # bulk_size ≈ rows per written file / micro-batch sizing hint
+    # (reference config.json:34 default 300; we scale it up because a
+    # Spark task amortizes far more than an HTTP bulk call did).
+    bulk_size: int = 100_000
+    # index_name ≈ sink table prefix (reference es.index_name).
+    index_name: str = "logs"
+
+    # --- routing
+    routes: list[tuple[str, str, str]] = field(
+        default_factory=lambda: list(DEFAULT_ROUTES)
+    )
+    default_sink: str = "logs-default"
+
+    # --- scale knobs (no reference analogue: Spark-specific)
+    # salt buckets used when repartitioning by sink_id before the fan-out
+    # write; bounds the damage of a hot sink (SURVEY.md §4.3).
+    write_salt_buckets: int = 16
+    shuffle_partitions: int = 32
+
+    # --- DLQ (reference dead_letter_queue.rs:31-40)
+    dlq_max_retry_count: int = 5
+
+    def validate(self) -> "PipelineConfig":
+        """Hard-fail validation, same style as settings.rs:131-260."""
+        if self.max_line_size <= 0:
+            raise ValueError("max_line_size must be > 0")
+        if self.bulk_size <= 0:
+            # reference settings.rs:194-196
+            raise ValueError("bulk_size must be > 0")
+        if self.write_salt_buckets <= 0:
+            raise ValueError("write_salt_buckets must be > 0")
+        # ES index-name rules (reference settings.rs:169-192): non-empty,
+        # no leading -_+, no uppercase, no whitespace.
+        name = self.index_name
+        if not name:
+            raise ValueError("index_name must not be empty")
+        if name[0] in "-_+":
+            raise ValueError("index_name must not start with '-', '_' or '+'")
+        if name != name.lower() or any(c.isspace() for c in name):
+            raise ValueError("index_name must be lowercase with no whitespace")
+        if not self.routes:
+            raise ValueError("routes must not be empty")
+        for src, lvl, sink in self.routes:
+            if not sink:
+                raise ValueError(f"route ({src},{lvl}) has empty sink")
+        return self
+
+    @classmethod
+    def load(cls, path: str | None = None) -> "PipelineConfig":
+        """Load from JSON; env override ``CFG_PATH`` like settings.rs:116."""
+        path = path or os.environ.get("CFG_PATH")
+        if path is None:
+            return cls().validate()
+        with open(path) as fh:
+            raw = json.load(fh)
+        routes = [tuple(r) for r in raw.pop("routes", DEFAULT_ROUTES)]
+        return cls(routes=routes, **raw).validate()

@@ -1,0 +1,125 @@
+"""Scalar line kernels — pure JVM (whole-stage-codegen) expressions.
+
+Each kernel rebuilds one of the reference's per-line string operations as
+a vectorized Spark Column expression; none of them drops into Python.
+
+Reference parity:
+- truncate_line   ≈ read_line_limited_static (src/domain/file.rs:553-634:
+                    cut at max_line_size, append "... [TRUNCATED]").
+- sanitize_content≈ sanitize_corrupted_content (src/domain/file.rs:660-721:
+                    NUL bytes or >10% control chars ⇒ non-printables → '?').
+- extract_k8s_meta≈ the K8s path regex with named groups
+                    (src/watcher.rs:31, applied at watcher.rs:595-638),
+                    missing group ⇒ "unknown" (watcher.rs:602-626).
+- grok_line       — the north-star extension: also parse timestamp +
+                    level out of the reconstructed line body (the
+                    reference stamps wall-clock instead, event.rs:19-27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Reference regex (src/watcher.rs:31), same character classes.
+K8S_PATH_RE = (
+    r"/var/log/pods/([a-z0-9-]+)_([a-z0-9-]+)_([a-z0-9-]+)/"
+    r"([a-z-0-9]+)/(0|[1-9][0-9]*)\.log"
+)
+
+# Full synthetic line grammar (FIXTURES.md §1.1):
+#   <iso8601-ts> <LEVEL> <k8s-path> <message-body>
+LOG_LINE_RE = (
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z) "
+    r"(DEBUG|INFO|WARN|ERROR|FATAL) "
+    + K8S_PATH_RE
+    + r" (.*)$"
+)
+
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+NON_PRINTABLE_RE = r"[^\x20-\x7E\t]"
+TRUNCATION_SUFFIX = "... [TRUNCATED]"
+
+
+def truncate_line(line: Column, max_line_size: int,
+                  suffix: str = TRUNCATION_SUFFIX) -> Column:
+    """Cut lines longer than ``max_line_size`` and append the marker.
+
+    The reference cuts at a UTF-8 boundary (file.rs:595-617); Spark's
+    substring is codepoint-based so the boundary safety is inherent.
+    """
+    return F.when(
+        F.length(line) > max_line_size,
+        F.concat(F.substring(line, 1, max_line_size), F.lit(suffix)),
+    ).otherwise(line)
+
+
+def is_corrupted(line: Column) -> Column:
+    """Corruption predicate: NUL bytes, or >10% control characters.
+
+    Mirrors sanitize_corrupted_content's trigger conditions
+    (file.rs:665-680).
+    """
+    ctl_count = F.length(line) - F.length(
+        F.regexp_replace(line, CONTROL_CHAR_RE, "")
+    )
+    return line.contains("\x00") | (
+        (F.length(line) > 0) & (ctl_count * 10 > F.length(line))
+    )
+
+
+def sanitize_content(line: Column) -> Column:
+    """Replace every non-printable with '?' when the line is corrupted.
+
+    ≈ create_sanitized_replacement (file.rs:695-721).  Clean lines pass
+    through untouched (byte-identical).
+    """
+    return F.when(
+        is_corrupted(line), F.regexp_replace(line, NON_PRINTABLE_RE, "?")
+    ).otherwise(line)
+
+
+def extract_k8s_meta(path: Column) -> dict[str, Column]:
+    """Named-group extraction from the pod log path; miss ⇒ 'unknown'.
+
+    Columns mirror Meta (reference src/domain/event.rs:11-17); the
+    'unknown' default mirrors watcher.rs:602-626.
+    """
+    def grp(i: int) -> Column:
+        g = F.regexp_extract(path, K8S_PATH_RE, i)
+        return F.when(g == "", F.lit("unknown")).otherwise(g)
+
+    return {
+        "namespace": grp(1),
+        "pod_name": grp(2),
+        "pod_id": grp(3),
+        "container_name": grp(4),
+    }
+
+
+def grok_line(line: Column) -> dict[str, Column]:
+    """Parse (ts, level, k8s meta, body) from a reconstructed log line.
+
+    Returns raw extracted columns; empty string means the group did not
+    match.  ``ts``/``level`` are the north-star extension fields; the
+    k8s groups are the reference's P1 operator applied to the embedded
+    path instead of a filename.
+    """
+    def grp(i: int) -> Column:
+        return F.regexp_extract(line, LOG_LINE_RE, i)
+
+    return {
+        "ts_raw": grp(1),
+        "level": grp(2),
+        "namespace": grp(3),
+        "pod_name": grp(4),
+        "pod_id": grp(5),
+        "container_name": grp(6),
+        "log_file_num": grp(7),
+        "body": grp(8),
+    }
+
+
+def format_ts_iso8601(ts: Column) -> Column:
+    """RFC3339/ISO-8601 serialization ≈ reference requests.rs:35-37."""
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")

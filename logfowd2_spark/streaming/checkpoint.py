@@ -1,0 +1,100 @@
+"""Checkpoint / lineage manifest — the rebuild of AppState persistence.
+
+The reference snapshots per-file offsets to JSON every 10 s with a
+SHA-256 integrity checksum, writing ``.tmp`` → backup → atomic rename and
+falling back to the backup on corruption (src/domain/state.rs:43-160,
+259-285; src/watcher.rs:168-218).  Here the unit of progress is a
+*micro-batch* (a set of input files / an input snapshot), and the commit
+protocol is: write outputs → append manifest entry → atomic rename.
+A batch present in the manifest is complete; a crashed batch left no
+manifest entry and is re-run idempotently (overwrite by batch dir).
+That upgrades the reference's at-least-once delivery (SURVEY.md §3.2)
+to effectively-exactly-once at batch granularity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class BatchRecord:
+    batch_id: str
+    input_files: list[str]
+    rows_in: int
+    rows_parsed: int
+    parse_failures: int
+    sink_counts: dict[str, int]
+    partition_metrics: list[dict[str, Any]] = field(default_factory=list)
+
+
+@dataclass
+class Manifest:
+    version: int = MANIFEST_VERSION
+    batches: dict[str, BatchRecord] = field(default_factory=dict)
+    checksum: str | None = None
+
+    def committed(self, batch_id: str) -> bool:
+        return batch_id in self.batches
+
+
+def _canonical_json(man: Manifest) -> str:
+    body = {
+        "version": man.version,
+        "batches": {k: asdict(v) for k, v in sorted(man.batches.items())},
+    }
+    # deterministically sorted, like the reference's checksum input
+    # (state.rs:259-285)
+    return json.dumps(body, sort_keys=True, separators=(",", ":"))
+
+
+def _checksum(payload: str) -> str:
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+def save_manifest(man: Manifest, path: str) -> None:
+    """Atomic save with backup, ≈ save_to_file_atomic (state.rs:119-160)."""
+    payload = _canonical_json(man)
+    doc = {"data": json.loads(payload), "checksum": _checksum(payload)}
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    if os.path.exists(path):
+        shutil.copy2(path, path + ".backup")
+    os.replace(tmp, path)
+
+
+def _load_one(path: str) -> Manifest | None:
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+        data = doc["data"]
+        man = Manifest(
+            version=data["version"],
+            batches={
+                k: BatchRecord(**v) for k, v in data["batches"].items()
+            },
+        )
+        if _checksum(_canonical_json(man)) != doc.get("checksum"):
+            return None  # corrupt — like state.rs checksum mismatch
+        return man
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
+def load_manifest(path: str) -> Manifest:
+    """Load with backup fallback, ≈ load_from_file (state.rs:43-113)."""
+    man = _load_one(path)
+    if man is None:
+        man = _load_one(path + ".backup")
+    return man if man is not None else Manifest()

@@ -1,0 +1,187 @@
+"""The batch/micro-batch driver: plan → run batches → commit.
+
+This replaces the reference's entire tokio task graph (main.rs:61-192:
+Watcher → channel → Sender → channel → EsWorkerPool) with one declarative
+DataFrame DAG per micro-batch:
+
+    read batch files → parse (decode/sanitize/truncate/grok)
+                     → split good/DLQ
+                     → enrich (broadcast dim join)
+                     → route (CASE sink_id) → salted repartition
+                     → fan-out write (partitioned parquet per sink/day)
+                     → sink_stats aggregate
+                     → manifest commit (atomic)
+
+A "micro-batch" is a fixed slice of the input file list (the stand-in
+for an Iceberg snapshot range).  Idempotent re-runs: each batch writes
+under its own ``batch_id=...`` directory which is cleared before a
+retry, so a crash between write and manifest-commit cannot duplicate
+data (the reference instead replays up to 10 s of events and duplicates
+docs — SURVEY.md §3.2; this is the deliberate upgrade).
+"""
+
+from __future__ import annotations
+
+import shutil
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.operators.aggregate import partition_manifest_rows, sink_stats
+from logfowd2_spark.operators.enrich import enrich_stage
+from logfowd2_spark.operators.parse import parse_stage, split_parsed
+from logfowd2_spark.operators.route import (
+    repartition_for_write,
+    route_stage,
+    write_routed,
+)
+from logfowd2_spark.streaming.checkpoint import (
+    BatchRecord,
+    Manifest,
+    load_manifest,
+    save_manifest,
+)
+from logfowd2_spark.streaming.dlq import write_dlq
+from logfowd2_spark.streaming.metrics import BatchMetrics
+
+
+def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
+    """Deterministic, sorted input file listing (the 'snapshot')."""
+    if os.path.isdir(input_path):
+        names = sorted(
+            os.path.join(input_path, n)
+            for n in os.listdir(input_path)
+            if n.endswith(".parquet")
+        )
+        return names
+    return [input_path]
+
+
+def plan_batches(files: list[str], files_per_batch: int) -> list[tuple[str, list[str]]]:
+    out = []
+    for b in range(0, len(files), files_per_batch):
+        chunk = files[b : b + files_per_batch]
+        out.append((f"batch-{b // files_per_batch:05d}", chunk))
+    return out
+
+
+def load_routes(spark: SparkSession, routes_path: str) -> list[tuple[str, str, str]]:
+    """Routing map is config-sized; collect it once at plan time."""
+    rows = spark.read.parquet(routes_path).collect()
+    return [(r["source"], r["level"], r["sink_id"]) for r in rows]
+
+
+def transform_batch(df: DataFrame, pods: DataFrame,
+                    cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """The pure (no-IO) part of the DAG: returns (routed, dlq)."""
+    parsed = parse_stage(df, cfg)
+    good, dlq = split_parsed(parsed)
+    enriched = enrich_stage(good, pods)
+    routed = route_stage(enriched, cfg)
+    return routed, dlq
+
+
+def run_batch(
+    spark: SparkSession,
+    batch_id: str,
+    files: list[str],
+    pods: DataFrame,
+    cfg: PipelineConfig,
+) -> BatchMetrics:
+    """Execute one micro-batch end-to-end and return its metrics."""
+    out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
+    stats_dir = os.path.join(cfg.output_path, "sink_stats", f"batch_id={batch_id}")
+    dlq_dir = os.path.join(cfg.output_path, "parse_failures")
+    dlq_batch_dir = os.path.join(dlq_dir, f"batch_id={batch_id}")
+    # idempotent retry: clear any partial output of a crashed attempt
+    for d in (out_dir, stats_dir, dlq_batch_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    df = spark.read.parquet(*files)
+    routed, dlq = transform_batch(df, pods, cfg)
+
+    write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite")
+    write_dlq(dlq, dlq_dir, batch_id)
+
+    # metrics + aggregate stage computed from the *committed* batch output
+    committed = spark.read.parquet(out_dir)
+    stats = sink_stats(committed)
+    stats.write.mode("overwrite").parquet(stats_dir)
+    stats_rows = spark.read.parquet(stats_dir).collect()
+    sink_counts = {r["sink_id"]: r["event_count"] for r in stats_rows}
+    part_rows = partition_manifest_rows(committed).collect()
+
+    m = BatchMetrics(
+        rows_in=df.count(),
+        rows_routed=sum(sink_counts.values()),
+        sink_counts=sink_counts,
+        partition_metrics=[r.asDict() for r in part_rows],
+    )
+    m.parse_failures = m.rows_in - m.rows_routed
+    m.rows_parsed = m.rows_routed
+    return m
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    pods_path: str,
+    routes_path: str,
+    files_per_batch: int = 0,
+    max_batches: int | None = None,
+) -> list[BatchMetrics]:
+    """Run all uncommitted batches; resume from the manifest.
+
+    ``files_per_batch=0`` means one batch over the whole input (pure
+    batch mode); >0 slices the file list into micro-batches.
+    ``read_existing_on_startup=False`` (reference file.rs:233-248) marks
+    all *current* batches committed without processing — 'seek to EOF'.
+    """
+    cfg.validate()
+    cfg.routes = load_routes(spark, routes_path)
+    pods = spark.read.parquet(pods_path)
+
+    files = list_input_files(spark, cfg.input_path)
+    fpb = files_per_batch or len(files)
+    batches = plan_batches(files, max(1, fpb))
+
+    manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
+    man = load_manifest(manifest_path)
+
+    results: list[BatchMetrics] = []
+    done = 0
+    for batch_id, chunk in batches:
+        if man.committed(batch_id):
+            continue
+        if not cfg.read_existing_on_startup:
+            # skip-existing semantics: record watermark, emit nothing
+            man.batches[batch_id] = BatchRecord(
+                batch_id, chunk, 0, 0, 0, {}, []
+            )
+            save_manifest(man, manifest_path)
+            continue
+        m = run_batch(spark, batch_id, chunk, pods, cfg)
+        man.batches[batch_id] = BatchRecord(
+            batch_id=batch_id,
+            input_files=chunk,
+            rows_in=m.rows_in,
+            rows_parsed=m.rows_parsed,
+            parse_failures=m.parse_failures,
+            sink_counts=m.sink_counts,
+            partition_metrics=m.partition_metrics,
+        )
+        save_manifest(man, manifest_path)  # commit point
+        results.append(m)
+        done += 1
+        if max_batches is not None and done >= max_batches:
+            break
+    return results
+
+
+def read_routed(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """All committed routed rows (partition columns recovered from paths)."""
+    return spark.read.option("basePath", os.path.join(cfg.output_path, "routed")).parquet(
+        os.path.join(cfg.output_path, "routed")
+    )

@@ -1,0 +1,99 @@
+"""Line-kernel tests, mirroring the reference's unit-test vectors
+(truncation file.rs:1504+, corruption file.rs:1719-1827, path regex
+watcher.rs:1032-1119)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from logfowd2_spark.functions.kernels import (
+    extract_k8s_meta,
+    grok_line,
+    sanitize_content,
+    truncate_line,
+)
+
+
+def _one_col(spark, values, name="line"):
+    return spark.createDataFrame([(v,) for v in values], [name])
+
+
+def test_truncate_line(spark):
+    df = _one_col(spark, ["short", "x" * 20])
+    out = df.select(truncate_line(F.col("line"), 10).alias("t")).collect()
+    assert out[0]["t"] == "short"
+    assert out[1]["t"] == "x" * 10 + "... [TRUNCATED]"
+
+
+def test_truncate_utf8_boundary(spark):
+    # reference cuts at byte boundaries (file.rs:1504); Spark substring is
+    # codepoint-based so no mojibake is possible
+    df = _one_col(spark, ["ééééé"])
+    out = df.select(truncate_line(F.col("line"), 3).alias("t")).collect()
+    assert out[0]["t"] == "ééé... [TRUNCATED]"
+
+
+def test_sanitize_nul_bytes(spark):
+    df = _one_col(spark, ["ok line", "bad\x00line", "ctl\x01\x02\x03"])
+    out = [r["s"] for r in df.select(sanitize_content(F.col("line")).alias("s")).collect()]
+    assert out[0] == "ok line"
+    assert out[1] == "bad?line"
+    # 3 control chars in 6-char line > 10% ⇒ sanitized
+    assert out[2] == "ctl???"
+
+
+def test_sanitize_low_control_ratio_untouched(spark):
+    line = ("a" * 100) + "\x01"  # 1/101 < 10%
+    df = _one_col(spark, [line])
+    out = df.select(sanitize_content(F.col("line")).alias("s")).collect()
+    assert out[0]["s"] == line
+
+
+K8S_VALID = "/var/log/pods/kube-system_coredns-abc12_9f8e7d6c/coredns/0.log"
+K8S_INVALID = [
+    "/var/log/pods/UPPER_pod_id/c/0.log",      # uppercase namespace
+    "/var/log/pods/ns_pod_id/c/01.log",         # leading-zero file number
+    "/var/log/other/ns_pod_id/c/0.log",         # wrong prefix
+    "/var/log/pods/ns_pod/c/0.log",             # missing pod_id group
+]
+
+
+def test_k8s_meta_extraction_valid(spark):
+    df = _one_col(spark, [K8S_VALID], "path")
+    meta = extract_k8s_meta(F.col("path"))
+    row = df.select(*[v.alias(k) for k, v in meta.items()]).collect()[0]
+    assert row["namespace"] == "kube-system"
+    assert row["pod_name"] == "coredns-abc12"
+    assert row["pod_id"] == "9f8e7d6c"
+    assert row["container_name"] == "coredns"
+
+
+def test_k8s_meta_extraction_invalid_defaults_unknown(spark):
+    # miss ⇒ "unknown" (reference watcher.rs:602-626)
+    df = _one_col(spark, K8S_INVALID, "path")
+    meta = extract_k8s_meta(F.col("path"))
+    for row in df.select(*[v.alias(k) for k, v in meta.items()]).collect():
+        assert row["namespace"] == "unknown"
+        assert row["pod_id"] == "unknown"
+
+
+def test_grok_full_line(spark):
+    line = f"2024-03-01T00:00:05Z ERROR {K8S_VALID} connection closed by peer"
+    df = _one_col(spark, [line])
+    g = grok_line(F.col("line"))
+    row = df.select(*[v.alias(k) for k, v in g.items()]).collect()[0]
+    assert row["ts_raw"] == "2024-03-01T00:00:05Z"
+    assert row["level"] == "ERROR"
+    assert row["namespace"] == "kube-system"
+    assert row["body"] == "connection closed by peer"
+
+
+def test_grok_rejects_malformed(spark):
+    bad = [
+        "no structure at all",
+        f"2024-03-01T00:00:05Z TRACE {K8S_VALID} bad level",
+        f"2024-03-01 00:00:05 ERROR {K8S_VALID} bad ts sep",
+    ]
+    df = _one_col(spark, bad)
+    g = grok_line(F.col("line"))
+    for row in df.select(g["level"].alias("level")).collect():
+        assert row["level"] == ""
