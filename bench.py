@@ -1,0 +1,128 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end
+pipeline throughput over a cached 200k-row synthetic sequences table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the pipeline throughput (routed sequences/sec) — the
+BASELINE.json target metric.  Scaling-efficiency evidence (local[8] vs
+local[32]) lives in tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_pipeline",
+    "q1_pricing_summary",
+    "q3_topk_revenue",
+    "pipe_route_by_source_level",
+    "window_top3_per_group",
+    "dedup_exact_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "ann_cosine_topk",
+]
+
+PIPE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "200000"))
+
+
+def ensure_pipe_data(n_rows: int) -> str:
+    """Deterministic cached sequences/pods/routes for the pipeline bench."""
+    from logfowd2_spark import synth
+
+    root = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/logfowd2_bench")
+    out = os.path.join(root, f"n{n_rows}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        synth.write_dataset(out, n_rows=n_rows, seed=42, n_files=32)
+        open(marker, "w").write("ok")
+    return out
+
+
+def run_noop(df) -> None:
+    """Force full execution without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_pipeline(spark, data_dir: str, tag: str) -> tuple[int, float]:
+    """Full parse→enrich→route→aggregate, fan-out write included."""
+    import shutil
+
+    from logfowd2_spark.config import PipelineConfig
+    from logfowd2_spark.streaming.pipeline import run_pipeline
+
+    out = os.path.join("/tmp/logfowd2_bench_out", tag)
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = PipelineConfig(
+        input_path=os.path.join(data_dir, "sequences"),
+        output_path=os.path.join(out, "data"),
+        checkpoint_path=os.path.join(out, "ckpt"),
+        max_line_size=4096,
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    t0 = time.perf_counter()
+    metrics = run_pipeline(
+        spark, cfg,
+        os.path.join(data_dir, "pods.parquet"),
+        os.path.join(data_dir, "routes.parquet"),
+    )
+    wall = time.perf_counter() - t0
+    routed = sum(m.rows_routed for m in metrics)
+    return routed, wall
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from logfowd2_spark.plans import catalog
+    from logfowd2_spark.session import build_session
+
+    data_dir = ensure_pipe_data(PIPE_ROWS)
+
+    spark = build_session(
+        app_name="logfowd2_bench", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    qs = catalog.queries()
+
+    # JVM/codegen warmup so per-query times measure the plan, not startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_noop(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    routed, wall = bench_pipeline(spark, data_dir, f"cpu{cpus}")
+    times["pipeline_e2e_200k"] = round(wall, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "pipeline_rows_routed": routed,
+                "pipeline_rows_per_sec": round(routed / wall, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -14,10 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from logfowd2_spark.codec import decode_tokens
+from logfowd2_spark.codec import with_decoded_line
 from logfowd2_spark.config import PipelineConfig
 from logfowd2_spark.functions.kernels import (
-    grok_line,
+    K8S_PATH_RE,
     sanitize_content,
     truncate_line,
 )
@@ -38,8 +38,7 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ``failure_reason`` (the DLQ split happens downstream, mirroring the
     reference's per-batch DLQ capture at pool.rs:786-791).
     """
-    line = decode_tokens(F.col("tokens"))
-    df = df.withColumn("line", line)
+    df = with_decoded_line(df, "tokens", "line")
     df = df.withColumn("line", sanitize_content(F.col("line")))
     df = df.withColumn(
         "line",
@@ -47,30 +46,52 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
     df = df.withColumn("byte_len", F.octet_length("line"))
 
-    groks = grok_line(F.col("line"))
+    # Single-pass field extraction: the grammar is space-delimited
+    # (<ts> <level> <path> <body>), so one split(limit=4) replaces eight
+    # full-line regex matches (regexp_extract re-runs the whole pattern
+    # per group).  Each piece is then validated/extracted with a short
+    # anchored regex — semantically identical to matching LOG_LINE_RE
+    # (asserted against the regex-based pandas oracle in tests).
+    df = df.withColumn("_parts", F.split("line", " ", 4))
+    ts_raw = F.element_at("_parts", 1)
+    level = F.element_at("_parts", 2)
+    path = F.element_at("_parts", 3)
+    body = F.element_at("_parts", 4)
+
+    ts_ok = ts_raw.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z$")
+    level_ok = level.isin("DEBUG", "INFO", "WARN", "ERROR", "FATAL")
+    path_re = "^" + K8S_PATH_RE + "$"
+
+    def pgrp(i: int):
+        return F.regexp_extract(path, path_re, i)
+
     df = df.withColumns(
         {
-            "ts_raw": groks["ts_raw"],
-            "level": groks["level"],
-            "namespace": groks["namespace"],
-            "pod_name": groks["pod_name"],
-            "pod_id": groks["pod_id"],
-            "container_name": groks["container_name"],
-            "body": groks["body"],
+            "level": F.when(level_ok, level).otherwise(F.lit("")),
+            "namespace": pgrp(1),
+            "pod_name": pgrp(2),
+            "pod_id": pgrp(3),
+            "container_name": pgrp(4),
+            "body": F.coalesce(body, F.lit("")),
+            "ts": F.when(
+                ts_ok, F.try_to_timestamp(ts_raw, F.lit(TS_FORMAT))
+            ).otherwise(F.lit(None).cast("timestamp")),
         }
     )
-    df = df.withColumn("ts", F.try_to_timestamp(F.col("ts_raw"), F.lit(TS_FORMAT)))
     df = df.withColumn(
         "parse_ok",
-        (F.col("level") != "") & F.col("ts").isNotNull(),
+        (F.col("level") != "")
+        & F.col("ts").isNotNull()
+        & (F.col("namespace") != "")
+        & (F.size("_parts") == 4),
     )
     df = df.withColumn(
         "failure_reason",
         F.when(F.col("parse_ok"), F.lit(None).cast("string"))
-        .when(F.col("level") == "", F.lit("grok_no_match"))
-        .otherwise(F.lit("bad_timestamp")),
+        .when(~ts_ok | F.col("ts").isNull(), F.lit("bad_timestamp"))
+        .otherwise(F.lit("grok_no_match")),
     )
-    return df.drop("ts_raw")
+    return df.drop("_parts")
 
 
 def split_parsed(df: DataFrame) -> tuple[DataFrame, DataFrame]:

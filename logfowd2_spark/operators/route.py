@@ -45,12 +45,22 @@ def route_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def repartition_for_write(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Salted repartition so hot sinks spread across many tasks.
+    """AQE-rebalanced partitioning for the fan-out write.
 
-    ``hash(doc_id) % salt_buckets`` splits each sink's rows into
-    ``write_salt_buckets`` groups; combined with AQE coalescing, small
-    sinks collapse back while hot sinks keep their parallelism.
+    ``REBALANCE(sink_id)`` clusters rows by sink but lets AQE split hot
+    sinks across tasks (runtime salting) and coalesce cold sinks to the
+    advisory partition size — so output files land near the target size
+    at ANY scale, instead of cores×sinks tiny files at small scale and
+    one giant task per hot sink at 100 TB.  ``salted_repartition`` below
+    is the static fallback when AQE is off.
     """
+    return df.hint("rebalance", "sink_id")
+
+
+def salted_repartition(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Static salting: ``hash(doc_id) % salt_buckets`` splits each sink
+    into ``write_salt_buckets`` groups (the explicit-salt variant of
+    skew handling; superseded by the AQE rebalance hint above)."""
     return df.repartition(
         cfg.shuffle_partitions,
         F.col("sink_id"),

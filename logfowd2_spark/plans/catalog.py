@@ -1,0 +1,475 @@
+"""Query catalog: every operator exposed as (Spark query, DuckDB oracle).
+
+Each entry is one operator/pipeline-semantics demonstration from
+SURVEY.md §2 (or a training-data-pipeline extension), implemented twice:
+
+- a PySpark callable ``(spark, sf_dir) -> DataFrame`` (the engine), and
+- an equivalent ANSI-SQL string for DuckDB (the oracle), over the same
+  parquet tables.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- money/double aggregates go through per-term ``CAST(... AS
+  DECIMAL(18,2))`` before SUM so the result is associativity-exact;
+- timestamps are emitted as formatted strings;
+- top-k orderings always carry a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logfowd2_spark.config import DEFAULT_ROUTES
+from logfowd2_spark.functions.kernels import K8S_PATH_RE
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, SparkQuery] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str,
+         tables: list[str]) -> DataFrame:
+    """Register the needed parquet tables as temp views and run Spark SQL."""
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# shared route CASE chain (kept in sync between Spark SQL and DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+def routes_case_sql(source: str, level: str) -> str:
+    """The (source, level) → sink_id routing map as a CASE expression —
+    the reference's index routing (pool.rs:856-865) generalized; identical
+    text works in Spark SQL and DuckDB."""
+    parts = ["CASE"]
+    for src, lvl, sink in DEFAULT_ROUTES:
+        conds = []
+        if src != "*":
+            conds.append(f"{source} = '{src}'")
+        if lvl != "*":
+            conds.append(f"{level} = '{lvl}'")
+        cond = " AND ".join(conds) if conds else "TRUE"
+        parts.append(f"WHEN {cond} THEN '{sink}'")
+    parts.append("ELSE 'logs-default' END")
+    return " ".join(parts)
+
+
+# ===========================================================================
+# §A  Pipeline-semantics queries (SURVEY.md §2 operators)
+# ===========================================================================
+
+# --- P1: k8s path metadata extraction (watcher.rs:31, 595-638) -------------
+_PATH_EXPR_SPARK = (
+    "concat('/var/log/pods/ns-', CAST(user_id % 12 AS STRING), '_pod-', "
+    "CAST(user_id AS STRING), '_pid-', CAST(event_id AS STRING), '/main/0.log')"
+)
+_PATH_EXPR_DUCK = (
+    "('/var/log/pods/ns-' || CAST(user_id % 12 AS VARCHAR) || '_pod-' || "
+    "CAST(user_id AS VARCHAR) || '_pid-' || CAST(event_id AS VARCHAR) || '/main/0.log')"
+)
+
+
+@register(
+    "pipe_parse_extract",
+    f"""
+    SELECT event_id,
+           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 1) AS namespace,
+           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 2) AS pod_name,
+           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 3) AS pod_id,
+           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 4) AS container_name
+    FROM events
+    """,
+)
+def pipe_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P1: regex named-group extraction from a pod log path."""
+    return _sql(
+        spark, sf_dir,
+        f"""
+        SELECT event_id,
+               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 1) AS namespace,
+               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 2) AS pod_name,
+               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 3) AS pod_id,
+               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 4) AS container_name
+        FROM events
+        """,
+        ["events"],
+    )
+
+
+@register(
+    "pipe_meta_unknown_default",
+    f"""
+    WITH p AS (
+      SELECT event_id,
+             CASE WHEN user_id % 10 <> 0 THEN {_PATH_EXPR_DUCK}
+                  ELSE 'corrupt-path' END AS path
+      FROM events)
+    SELECT event_id,
+           CASE WHEN regexp_extract(path, '{K8S_PATH_RE}', 1) = ''
+                THEN 'unknown'
+                ELSE regexp_extract(path, '{K8S_PATH_RE}', 1) END AS namespace
+    FROM p
+    """,
+)
+def pipe_meta_unknown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 miss ⇒ 'unknown' defaulting (watcher.rs:602-626)."""
+    return _sql(
+        spark, sf_dir,
+        f"""
+        WITH p AS (
+          SELECT event_id,
+                 CASE WHEN user_id % 10 <> 0 THEN {_PATH_EXPR_SPARK}
+                      ELSE 'corrupt-path' END AS path
+          FROM events)
+        SELECT event_id,
+               CASE WHEN regexp_extract(path, '{K8S_PATH_RE}', 1) = ''
+                    THEN 'unknown'
+                    ELSE regexp_extract(path, '{K8S_PATH_RE}', 1) END AS namespace
+        FROM p
+        """,
+        ["events"],
+    )
+
+
+@register(
+    "pipe_truncate",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) > 120
+                THEN substr(text, 1, 120) || '... [TRUNCATED]'
+                ELSE text END AS line,
+           length(CASE WHEN length(text) > 120
+                THEN substr(text, 1, 120) || '... [TRUNCATED]'
+                ELSE text END) AS line_len
+    FROM documents
+    """,
+)
+def pipe_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S5: oversized-line truncation (file.rs:553-634)."""
+    return _sql(
+        spark, sf_dir,
+        """
+        SELECT doc_id,
+               CASE WHEN length(text) > 120
+                    THEN concat(substring(text, 1, 120), '... [TRUNCATED]')
+                    ELSE text END AS line,
+               length(CASE WHEN length(text) > 120
+                    THEN concat(substring(text, 1, 120), '... [TRUNCATED]')
+                    ELSE text END) AS line_len
+        FROM documents
+        """,
+        ["documents"],
+    )
+
+
+@register(
+    "pipe_sanitize",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[^\x20-\x7E\t]', '?', 'g')) AS sanitized_fp,
+           length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl_chars
+    FROM documents
+    """,
+)
+def pipe_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S6: corrupt-content sanitization (file.rs:660-721)."""
+    return _sql(
+        spark, sf_dir,
+        r"""
+        SELECT doc_id,
+               md5(regexp_replace(text, '[^\\x20-\\x7E\\t]', '?')) AS sanitized_fp,
+               length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '')) AS ctl_chars
+        FROM documents
+        """,
+        ["documents"],
+    )
+
+
+@register(
+    "pipe_filter_nonempty",
+    """
+    SELECT source, count(*) AS n_docs
+    FROM documents WHERE length(trim(text)) > 0
+    GROUP BY source
+    """,
+)
+def pipe_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F2: empty-line filter (file.rs:201-203)."""
+    return _sql(
+        spark, sf_dir,
+        """
+        SELECT source, count(*) AS n_docs
+        FROM documents WHERE length(trim(text)) > 0
+        GROUP BY source
+        """,
+        ["documents"],
+    )
+
+
+# --- R1/A1: routing + per-sink aggregation ---------------------------------
+
+_LEVEL_FROM_EVENT = (
+    "CASE WHEN event_type = 'error' THEN 'ERROR' "
+    "WHEN event_type = 'purchase' THEN 'INFO' "
+    "WHEN event_type = 'signup' THEN 'INFO' "
+    "WHEN event_type = 'view' THEN 'DEBUG' "
+    "ELSE 'WARN' END"
+)
+_SOURCE_FROM_EVENT = (
+    "CASE WHEN user_id % 5 = 0 THEN 'app' WHEN user_id % 5 = 1 THEN 'ingress' "
+    "WHEN user_id % 5 = 2 THEN 'sidecar' WHEN user_id % 5 = 3 THEN 'batch' "
+    "ELSE 'system' END"
+)
+
+
+def _route_counts_sql() -> str:
+    case = routes_case_sql("src", "lvl")
+    return f"""
+    WITH tagged AS (
+      SELECT {_SOURCE_FROM_EVENT} AS src, {_LEVEL_FROM_EVENT} AS lvl,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events)
+    SELECT {case} AS sink_id,
+           count(*) AS event_count,
+           CAST(SUM(v) * 100 AS BIGINT) AS value_total_cents
+    FROM tagged
+    GROUP BY 1
+    """
+
+
+@register("pipe_route_by_source_level", _route_counts_sql())
+def pipe_route_by_source_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 generalized: (source, level) → sink_id with wildcard precedence,
+    plus A1 per-sink counters."""
+    return _sql(spark, sf_dir, _route_counts_sql(), ["events"])
+
+
+@register(
+    "pipe_daily_index",
+    """
+    SELECT 'logs-' || strftime(ts, '%Y.%m.%d') AS sink_index,
+           count(*) AS event_count
+    FROM events GROUP BY 1
+    """,
+)
+def pipe_daily_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: the reference's literal daily index naming
+    ({index}-{YYYY.MM.dd}, pool.rs:856-865)."""
+    return _sql(
+        spark, sf_dir,
+        """
+        SELECT concat('logs-', date_format(ts, 'yyyy.MM.dd')) AS sink_index,
+               count(*) AS event_count
+        FROM events GROUP BY 1
+        """,
+        ["events"],
+    )
+
+
+@register(
+    "pipe_sink_stats",
+    """
+    SELECT source || '-' || lang AS sink_id,
+           count(*) AS event_count,
+           CAST(SUM(n_chars) AS BIGINT) AS byte_total,
+           count(DISTINCT doc_id) AS distinct_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def pipe_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3: per-sink event counts / byte totals / distinct docs
+    (collector.rs:60-128 promoted to data)."""
+    return _sql(
+        spark, sf_dir,
+        """
+        SELECT concat(source, '-', lang) AS sink_id,
+               count(*) AS event_count,
+               SUM(n_chars) AS byte_total,
+               count(DISTINCT doc_id) AS distinct_docs
+        FROM documents GROUP BY 1
+        """,
+        ["documents"],
+    )
+
+
+@register(
+    "pipe_batch_chunks",
+    """
+    WITH numbered AS (
+      SELECT event_id, CAST(ts AS DATE) AS d,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id) AS rn
+      FROM events)
+    SELECT CAST(d AS VARCHAR) AS batch_day,
+           CAST(floor((rn - 1) / 300.0) AS BIGINT) AS batch_id,
+           count(*) AS batch_size,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def pipe_batch_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: count-trigger batching (bulk_size=300, sender.rs:58-67) as a
+    window over the stream order.  Partitioned by day so the window never
+    funnels the whole table through one task (a global ORDER BY window is
+    a scale anti-pattern; per-day FIFO matches the reference's
+    per-flush-window ordering contract)."""
+    return _sql(
+        spark, sf_dir,
+        """
+        WITH numbered AS (
+          SELECT event_id, CAST(ts AS DATE) AS d,
+                 row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id) AS rn
+          FROM events)
+        SELECT CAST(d AS STRING) AS batch_day,
+               CAST(floor((rn - 1) / 300.0) AS BIGINT) AS batch_id,
+               count(*) AS batch_size,
+               min(event_id) AS first_event, max(event_id) AS last_event
+        FROM numbered GROUP BY 1, 2
+        """,
+        ["events"],
+    )
+
+
+@register(
+    "pipe_conservation",
+    """
+    WITH parsed AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+    SELECT (k IS NOT NULL AND k < 90) AS is_valid, count(*) AS n
+    FROM parsed GROUP BY 1
+    """,
+)
+def pipe_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ split invariant: every row lands in exactly one of
+    valid/invalid (dead_letter_queue.rs semantics as a partition)."""
+    return _sql(
+        spark, sf_dir,
+        """
+        WITH parsed AS (
+          SELECT CAST(get_json_object(props, '$.k') AS INT) AS k FROM events)
+        SELECT (k IS NOT NULL AND k < 90) AS is_valid, count(*) AS n
+        FROM parsed GROUP BY 1
+        """,
+        ["events"],
+    )
+
+
+# --- the flagship: full parse→route→aggregate over token-encoded lines -----
+
+_LINE_SPARK = """
+  SELECT doc_id, source,
+         concat(
+           date_format(timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id), "yyyy-MM-dd'T'HH:mm:ss"), 'Z ',
+           CASE WHEN doc_id % 20 = 0 THEN 'FATAL'
+                WHEN doc_id % 20 IN (1,2) THEN 'ERROR'
+                WHEN doc_id % 20 IN (3,4,5) THEN 'WARN'
+                WHEN doc_id % 20 IN (6,7,8) THEN 'DEBUG'
+                ELSE 'INFO' END, ' ',
+           '/var/log/pods/ns-', CAST(doc_id % 12 AS STRING),
+           '_pod-', CAST(doc_id % 200 AS STRING),
+           '_pid-', CAST(doc_id % 500 AS STRING),
+           '/main/0.log ', substring(text, 1, 80)) AS line,
+         element_at(array('app','ingress','sidecar','batch','system'),
+                    CAST(doc_id % 5 AS INT) + 1) AS src
+  FROM documents
+"""
+
+_LINE_DUCK = """
+  SELECT doc_id, source,
+         strftime(TIMESTAMP '2024-03-01 00:00:00' + doc_id * INTERVAL 1 SECOND, '%Y-%m-%dT%H:%M:%S') || 'Z ' ||
+         (CASE WHEN doc_id % 20 = 0 THEN 'FATAL'
+               WHEN doc_id % 20 IN (1,2) THEN 'ERROR'
+               WHEN doc_id % 20 IN (3,4,5) THEN 'WARN'
+               WHEN doc_id % 20 IN (6,7,8) THEN 'DEBUG'
+               ELSE 'INFO' END) || ' ' ||
+         '/var/log/pods/ns-' || CAST(doc_id % 12 AS VARCHAR) ||
+         '_pod-' || CAST(doc_id % 200 AS VARCHAR) ||
+         '_pid-' || CAST(doc_id % 500 AS VARCHAR) ||
+         '/main/0.log ' || substr(text, 1, 80) AS line,
+         (['app','ingress','sidecar','batch','system'])[CAST(doc_id % 5 AS INT) + 1] AS src
+  FROM documents
+"""
+
+
+def _flagship_oracle() -> str:
+    case = routes_case_sql("src", "lvl")
+    return f"""
+    WITH lines AS ({_LINE_DUCK}),
+    parsed AS (
+      SELECT doc_id, src,
+             regexp_extract(line, ' (DEBUG|INFO|WARN|ERROR|FATAL) ', 1) AS lvl,
+             strlen(line) AS n_tok, strlen(line) AS byte_len
+      FROM lines)
+    SELECT {case} AS sink_id,
+           count(*) AS event_count,
+           CAST(SUM(n_tok) AS BIGINT) AS token_total,
+           CAST(SUM(byte_len) AS BIGINT) AS byte_total
+    FROM parsed GROUP BY 1
+    """
+
+
+@register("flagship_pipeline", _flagship_oracle())
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline end-to-end slice: build log lines, ENCODE them to the
+    token format (real Arrow codec), decode back, grok the level, route by
+    (source, level), aggregate per sink.  The DuckDB oracle computes the
+    same result directly on the text (the codec round-trip is the identity
+    on the data, which is exactly the invariant being checked)."""
+    from logfowd2_spark.codec import decode_tokens, encode_line
+    from logfowd2_spark.operators.route import route_expr
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    lines = spark.sql(_LINE_SPARK)
+    toks = lines.select(
+        "doc_id", "src", encode_line(F.col("line")).alias("tokens")
+    )
+    decoded = toks.withColumn("line", decode_tokens(F.col("tokens"))).withColumn(
+        "n_tok", F.size("tokens")
+    )
+    parsed = decoded.select(
+        "doc_id",
+        "src",
+        F.regexp_extract("line", r" (DEBUG|INFO|WARN|ERROR|FATAL) ", 1).alias("lvl"),
+        F.col("n_tok"),
+        F.octet_length("line").alias("byte_len"),
+    )
+    routed = parsed.withColumn(
+        "sink_id", route_expr(DEFAULT_ROUTES, F.col("src"), F.col("lvl"))
+    )
+    return routed.groupBy("sink_id").agg(
+        F.count("*").alias("event_count"),
+        F.sum("n_tok").alias("token_total"),
+        F.sum("byte_len").alias("byte_total"),
+    )
+
+
+# import sibling modules for their @register side effects (kept at the
+# bottom so they can import register/_sql from this module)
+from logfowd2_spark.plans import relational, trainingdata  # noqa: E402,F401

@@ -47,6 +47,7 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # At 100 TB the input splits dominate: 128 MiB splits keeps
         # ~800k tasks for the scan, which AQE coalesces post-shuffle.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

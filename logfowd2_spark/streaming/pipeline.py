@@ -26,7 +26,7 @@ import shutil
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from logfowd2_spark.config import PipelineConfig
 from logfowd2_spark.operators.aggregate import partition_manifest_rows, sink_stats
@@ -100,10 +100,15 @@ def run_batch(
         shutil.rmtree(d, ignore_errors=True)
 
     df = spark.read.parquet(*files)
-    routed, dlq = transform_batch(df, pods, cfg)
+    parsed = parse_stage(df, cfg)
+    # one decode+grok pass feeds both the routed write and the DLQ write
+    parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    good, dlq = split_parsed(parsed)
+    routed = route_stage(enrich_stage(good, pods), cfg)
 
     write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite")
     write_dlq(dlq, dlq_dir, batch_id)
+    parsed.unpersist()
 
     # metrics + aggregate stage computed from the *committed* batch output
     committed = spark.read.parquet(out_dir)
