@@ -31,7 +31,7 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
-PIPE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "200000"))
+PIPE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "1000000"))
 
 
 def ensure_pipe_data(n_rows: int) -> str:

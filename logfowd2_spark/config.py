@@ -74,6 +74,12 @@ class PipelineConfig:
     # --- DLQ (reference dead_letter_queue.rs:31-40)
     dlq_max_retry_count: int = 5
 
+    # --- codec path: "jvm" decodes tokens with a pure whole-stage-codegen
+    # chr() mapping (byte↔char bijection; exact for ASCII payloads, and
+    # faster + jitter-free because no Python worker IPC is involved);
+    # "arrow" uses the mapInArrow UDF for true multi-byte UTF-8.
+    codec: str = "jvm"
+
     def validate(self) -> "PipelineConfig":
         """Hard-fail validation, same style as settings.rs:131-260."""
         if self.max_line_size <= 0:
@@ -94,6 +100,8 @@ class PipelineConfig:
             raise ValueError("index_name must be lowercase with no whitespace")
         if not self.routes:
             raise ValueError("routes must not be empty")
+        if self.codec not in ("jvm", "arrow"):
+            raise ValueError("codec must be 'jvm' or 'arrow'")
         for src, lvl, sink in self.routes:
             if not sink:
                 raise ValueError(f"route ({src},{lvl}) has empty sink")

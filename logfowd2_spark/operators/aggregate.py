@@ -45,5 +45,6 @@ def partition_manifest_rows(routed: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("rows_routed"),
             F.sum("n_tok").alias("token_total"),
+            F.sum("byte_len").alias("byte_total"),
         )
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from logfowd2_spark.codec import with_decoded_line
+from logfowd2_spark.codec import decode_tokens_sql, with_decoded_line
 from logfowd2_spark.config import PipelineConfig
 from logfowd2_spark.functions.kernels import (
     K8S_PATH_RE,
@@ -38,13 +38,22 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ``failure_reason`` (the DLQ split happens downstream, mirroring the
     reference's per-batch DLQ capture at pool.rs:786-791).
     """
-    df = with_decoded_line(df, "tokens", "line")
+    if cfg.codec == "arrow":
+        # true UTF-8 decode via Arrow batches (Python workers)
+        df = with_decoded_line(df, "tokens", "line")
+        byte_len = F.octet_length("line")
+    else:
+        # pure-JVM byte↔char decode: stays inside whole-stage codegen,
+        # no Python round-trip; chars == original bytes, so length()
+        # is the byte length
+        df = df.withColumn("line", decode_tokens_sql(F.col("tokens")))
+        byte_len = F.length("line")
     df = df.withColumn("line", sanitize_content(F.col("line")))
     df = df.withColumn(
         "line",
         truncate_line(F.col("line"), cfg.max_line_size, cfg.truncation_suffix),
     )
-    df = df.withColumn("byte_len", F.octet_length("line"))
+    df = df.withColumn("byte_len", byte_len)
 
     # Single-pass field extraction: the grammar is space-delimited
     # (<ts> <level> <path> <body>), so one split(limit=4) replaces eight

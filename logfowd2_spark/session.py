@@ -51,6 +51,14 @@ def build_session(
         # At 100 TB the input splits dominate: 128 MiB splits keeps
         # ~800k tasks for the scan, which AQE coalesces post-shuffle.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # AQE target partition size after rebalance/coalesce.  64-128 MiB
+        # is right on a cluster; locally the default would coalesce a
+        # small bench input to fewer partitions than cores, serializing
+        # the fan-out write — override via env for local benching.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "67108864"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -26,10 +26,9 @@ import shutil
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.storagelevel import StorageLevel
 
 from logfowd2_spark.config import PipelineConfig
-from logfowd2_spark.operators.aggregate import partition_manifest_rows, sink_stats
+from logfowd2_spark.operators.aggregate import partition_manifest_rows
 from logfowd2_spark.operators.enrich import enrich_stage
 from logfowd2_spark.operators.parse import parse_stage, split_parsed
 from logfowd2_spark.operators.route import (
@@ -45,6 +44,30 @@ from logfowd2_spark.streaming.checkpoint import (
 )
 from logfowd2_spark.streaming.dlq import write_dlq
 from logfowd2_spark.streaming.metrics import BatchMetrics
+
+
+def _parquet_num_rows(files: list[str]) -> int:
+    """Row count from parquet footers — driver-side, no Spark job."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _write_stats_pyarrow(stats_dir: str, agg: dict[str, dict[str, int]]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(stats_dir, exist_ok=True)
+    keys = sorted(agg)
+    tbl = pa.table(
+        {
+            "sink_id": pa.array(keys, pa.string()),
+            "event_count": pa.array([agg[k]["event_count"] for k in keys], pa.int64()),
+            "token_total": pa.array([agg[k]["token_total"] for k in keys], pa.int64()),
+            "byte_total": pa.array([agg[k]["byte_total"] for k in keys], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(stats_dir, "part-00000.parquet"))
 
 
 def list_input_files(spark: SparkSession, input_path: str) -> list[str]:
@@ -100,29 +123,39 @@ def run_batch(
         shutil.rmtree(d, ignore_errors=True)
 
     df = spark.read.parquet(*files)
-    parsed = parse_stage(df, cfg)
-    # one decode+grok pass feeds both the routed write and the DLQ write
-    parsed.persist(StorageLevel.MEMORY_AND_DISK)
-    good, dlq = split_parsed(parsed)
-    routed = route_stage(enrich_stage(good, pods), cfg)
+    # Two independent passes (routed write, DLQ write) over the same
+    # lineage.  Deliberately NOT persisted: rebuilding the in-memory
+    # columnar cache of the token arrays costs more than re-running the
+    # Arrow decode + split parse, and a cache would never hold a 100 TB
+    # batch anyway — recompute is the scale-correct choice.
+    routed, dlq = transform_batch(df, pods, cfg)
 
     write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite")
     write_dlq(dlq, dlq_dir, batch_id)
-    parsed.unpersist()
 
-    # metrics + aggregate stage computed from the *committed* batch output
+    # metrics + aggregate stage, computed from the *committed* batch
+    # output in ONE pass: the per-partition lineage rows fold up to the
+    # per-sink stats driver-side (both are tiny: tasks × sinks rows)
     committed = spark.read.parquet(out_dir)
-    stats = sink_stats(committed)
-    stats.write.mode("overwrite").parquet(stats_dir)
-    stats_rows = spark.read.parquet(stats_dir).collect()
-    sink_counts = {r["sink_id"]: r["event_count"] for r in stats_rows}
-    part_rows = partition_manifest_rows(committed).collect()
+    part_rows = [r.asDict() for r in partition_manifest_rows(committed).collect()]
+    agg: dict[str, dict[str, int]] = {}
+    for r in part_rows:
+        s = agg.setdefault(
+            r["sink_id"], {"event_count": 0, "token_total": 0, "byte_total": 0}
+        )
+        s["event_count"] += r["rows_routed"]
+        s["token_total"] += r["token_total"]
+        s["byte_total"] += r["byte_total"]
+    # stats + input counts are driver-side pyarrow (a handful of rows /
+    # parquet footer metadata) — no Spark jobs for bookkeeping
+    _write_stats_pyarrow(stats_dir, agg)
+    sink_counts = {k: v["event_count"] for k, v in agg.items()}
 
     m = BatchMetrics(
-        rows_in=df.count(),
+        rows_in=_parquet_num_rows(files),
         rows_routed=sum(sink_counts.values()),
         sink_counts=sink_counts,
-        partition_metrics=[r.asDict() for r in part_rows],
+        partition_metrics=part_rows,
     )
     m.parse_failures = m.rows_in - m.rows_routed
     m.rows_parsed = m.rows_routed

@@ -1,0 +1,100 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a continuous forwarder (inotify → channels → ES); its
+Spark-native translation is a file-source stream: new parquet files
+landing in the input directory are the analogue of new log lines
+appearing in tailed files (SURVEY.md §2.1 S2).  Two entry points:
+
+- ``streaming_pipeline``: readStream → (same transform_batch as batch
+  mode) → per-sink partitioned parquet via ``foreachBatch``, with
+  Spark's own checkpoint dir providing exactly-once file-source
+  progress (replaces our manifest for the streaming path).
+- ``windowed_level_counts``: event-time tumbling-window counts per
+  (sink, level) with a watermark for late data — the streaming analogue
+  of the reference's flush-interval batching (B2, sender.rs:40-55)
+  upgraded from processing-time to event-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.operators.route import write_routed
+from logfowd2_spark.streaming.pipeline import transform_batch
+from logfowd2_spark.synth import SEQUENCES_ARROW_SCHEMA  # noqa: F401 (doc)
+
+SEQUENCES_DDL = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def read_sequences_stream(spark: SparkSession, cfg: PipelineConfig,
+                          max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream over the sequences directory.
+
+    ``maxFilesPerTrigger`` is the micro-batch size knob — the analogue
+    of the reference's read_chunk_size (watcher.rs:85).
+    """
+    return (
+        spark.readStream.schema(SEQUENCES_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(cfg.input_path)
+    )
+
+
+def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
+                       pods: DataFrame, available_now: bool = True):
+    """Start the stream: each micro-batch runs the SAME pure transform as
+    batch mode (one code path, two execution modes), fanning out to the
+    per-sink layout.  Returns the StreamingQuery (caller awaits it)."""
+    stream = read_sequences_stream(spark, cfg)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed, dlq = transform_batch(batch_df, pods, cfg)
+        write_routed(
+            routed.hint("rebalance", "sink_id"),
+            os.path.join(cfg.output_path, "routed", f"batch_id=stream-{batch_id:05d}"),
+            mode="overwrite",
+        )
+        (
+            dlq.withColumn("batch_id", F.lit(f"stream-{batch_id:05d}"))
+            .write.mode("append")
+            .parquet(os.path.join(cfg.output_path, "parse_failures"))
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_level_counts(spark: SparkSession, cfg: PipelineConfig,
+                          pods: DataFrame, window: str = "1 minute",
+                          watermark: str = "5 minutes"):
+    """Event-time tumbling-window aggregation with late-data watermark:
+    per (window, sink_id, level) event counts written as complete-mode
+    memory table ``windowed_counts`` (test-observable)."""
+    stream = read_sequences_stream(spark, cfg)
+    routed, _dlq = transform_batch(stream, pods, cfg)
+    agg = (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "sink_id", "level")
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "sink_id", "level", "event_count",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName("windowed_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
