@@ -11,7 +11,7 @@ timestamp/level extraction from the line body.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logfowd2_spark.codec import decode_tokens_sql, with_decoded_line
@@ -48,6 +48,16 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
         # is the byte length
         df = df.withColumn("line", decode_tokens_sql(F.col("tokens")))
         byte_len = F.length("line")
+    return parse_lines(df, cfg, byte_len)
+
+
+def parse_lines(df: DataFrame, cfg: PipelineConfig,
+                byte_len: Column | None = None) -> DataFrame:
+    """Sanitize + truncate + field-extract a DataFrame that already has a
+    ``line`` column (shared by the token path above and the DLQ redrive,
+    which re-parses quarantined raw lines)."""
+    if byte_len is None:
+        byte_len = F.octet_length("line")
     df = df.withColumn("line", sanitize_content(F.col("line")))
     df = df.withColumn(
         "line",

@@ -381,6 +381,59 @@ def pipe_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P3/P4/P6: ES doc projection, deterministic _id, ISO-8601 --------------
+
+_DOC_PROJ = {
+    "spark": """
+    SELECT md5(concat('evt-', CAST(event_id AS STRING))) AS doc_uid,
+           props AS message,
+           date_format(ts, "yyyy-MM-dd'T'HH:mm:ss") AS at_timestamp,
+           event_type AS container_name
+    FROM events
+    """,
+    "duck": """
+    SELECT md5('evt-' || CAST(event_id AS VARCHAR)) AS doc_uid,
+           props AS message,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS at_timestamp,
+           event_type AS container_name
+    FROM events
+    """,
+}
+
+
+@register("pipe_doc_projection", _DOC_PROJ["duck"])
+def pipe_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (Event → FieldsBody projection with the timestamp→@timestamp
+    rename, requests.rs:32-61; emitted here as ``at_timestamp``),
+    P4 (synthetic per-doc id — deterministic hash instead of the
+    reference's UUIDv4 at requests.rs:18-30, for testability), and
+    P6 (ISO-8601 serialization, requests.rs:35-37)."""
+    return _sql(spark, sf_dir, _DOC_PROJ["spark"], ["events"])
+
+
+_NDJSON = {
+    "spark": """
+    SELECT event_id,
+           concat('{"index":{"_id":"', md5(CAST(event_id AS STRING)), '"}}') AS action_line,
+           concat('{"message":', props, ',"level":"', upper(event_type), '"}') AS doc_line
+    FROM events
+    """,
+    "duck": """
+    SELECT event_id,
+           '{"index":{"_id":"' || md5(CAST(event_id AS VARCHAR)) || '"}}' AS action_line,
+           '{"message":' || props || ',"level":"' || upper(event_type) || '"}' AS doc_line
+    FROM events
+    """,
+}
+
+
+@register("pipe_ndjson_bulk", _NDJSON["duck"])
+def pipe_ndjson_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: NDJSON bulk-body assembly (two lines per event: action +
+    document), reference make_body pool.rs:821-849."""
+    return _sql(spark, sf_dir, _NDJSON["spark"], ["events"])
+
+
 # --- the flagship: full parse→route→aggregate over token-encoded lines -----
 
 _LINE_SPARK = """

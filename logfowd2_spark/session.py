@@ -60,6 +60,14 @@ def build_session(
             os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "67108864"),
         )
     )
+    # On a cluster every executor brings its own shuffle disks, so I/O
+    # bandwidth scales with executor count; on this single VM one virtio
+    # disk is shared by all cores.  For scaling benches, point shuffle
+    # space at tmpfs to emulate per-executor-local I/O (env-gated;
+    # production leaves Spark's default local dirs).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

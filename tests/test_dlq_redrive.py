@@ -1,0 +1,73 @@
+"""DLQ redrive tests (≈ reference retry task semantics: recover
+transient failures, cap retries, drop permanently-failed)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logfowd2_spark import synth
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.streaming.dlq import dlq_stats, redrive_pass
+from logfowd2_spark.streaming.pipeline import load_routes, run_pipeline
+
+N_ROWS = 800
+
+
+@pytest.fixture(scope="module")
+def ran(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dlq")
+    paths = synth.write_dataset(str(d / "in"), n_rows=N_ROWS, seed=11, n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        max_line_size=256,
+        dlq_max_retry_count=2,
+    )
+    m = run_pipeline(spark, cfg, paths["pods"], paths["routes"])
+    cfg.routes = load_routes(spark, paths["routes"])
+    pods = spark.read.parquet(paths["pods"])
+    return cfg, pods, m[0]
+
+
+def test_redrive_recovers_transient_failure(spark, ran):
+    cfg, pods, m = ran
+    dlq_path = os.path.join(cfg.output_path, "parse_failures")
+    n_fail = m.parse_failures
+    assert n_fail > 0
+
+    # inject a 'transient' failure: a perfectly valid line that was
+    # quarantined (the reference's HTTP-failure case — data is fine)
+    valid_line = (
+        "2024-03-01T00:00:09Z ERROR "
+        "/var/log/pods/ns-1_pod-1_pid-000001/main/0.log transient blip"
+    )
+    spark.createDataFrame(
+        [("doc-transient", "app", valid_line, "transient", 0)],
+        "doc_id string, source string, raw_line string, failure_reason string, retry_count int",
+    ).withColumn("batch_id", F.lit("batch-injected")).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(dlq_path)
+
+    r1 = redrive_pass(spark, cfg, pods, generation=1)
+    assert r1["recovered"] == 1            # the transient row came back
+    assert r1["requeued"] == n_fail        # deterministic failures requeued
+    assert r1["permanently_failed"] == 0
+
+    # the recovered row landed in the routed output with full schema
+    routed = spark.read.parquet(os.path.join(cfg.output_path, "routed"))
+    rec = routed.filter(F.col("doc_id") == "doc-transient").collect()
+    assert len(rec) == 1
+    assert rec[0]["sink_id"] == "logs-app-error"
+    assert rec[0]["n_tok"] == len(valid_line)
+
+    # generation 2: retry_count hits the cap (2) for everything left
+    r2 = redrive_pass(spark, cfg, pods, generation=2)
+    assert r2["recovered"] == 0 and r2["requeued"] == n_fail
+    r3 = redrive_pass(spark, cfg, pods, generation=3)
+    assert r3["requeued"] == 0 and r3["permanently_failed"] == n_fail
+
+    stats = dlq_stats(spark, dlq_path, cfg).collect()[0]
+    assert stats["in_queue"] == 0
+    assert stats["permanently_failed"] == n_fail

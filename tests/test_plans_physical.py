@@ -1,0 +1,76 @@
+"""Physical-plan hygiene tests: the properties that make the pipeline
+scale must be visible in the plan, not just intended (SURVEY.md §4.3).
+
+- the enrichment join must be a BroadcastHashJoin (the 100 TB side never
+  shuffles);
+- projection/filter must push into the parquet scan (column pruning +
+  PushedFilters);
+- the parse stage must stay inside WholeStageCodegen (no Python in the
+  hot path with the default JVM codec).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logfowd2_spark import synth
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.streaming.pipeline import load_routes, transform_batch
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("plans")
+    paths = synth.write_dataset(str(d / "in"), n_rows=500, seed=3, n_files=2)
+    cfg = PipelineConfig(max_line_size=256)
+    cfg.routes = load_routes(spark, paths["routes"])
+    df = spark.read.parquet(paths["sequences"])
+    pods = spark.read.parquet(paths["pods"])
+    return df, pods, cfg
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(df, mode: str) -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def test_enrich_is_broadcast_join(env):
+    df, pods, cfg = env
+    routed, _ = transform_batch(df, pods, cfg)
+    plan = plan_of(routed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_stays_in_codegen(env):
+    df, pods, cfg = env
+    routed, _ = transform_batch(df, pods, cfg)
+    routed.collect()  # finalize the adaptive plan
+    cg = explain_str(routed, "codegen")
+    # the parse/enrich/route pipeline compiles into codegen subtrees
+    assert "WholeStageCodegen subtrees" in cg
+    assert "Found 0 WholeStageCodegen" not in cg
+    plan = plan_of(routed)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"Python node {marker} in default hot path"
+
+
+def test_column_pruning_reaches_scan(spark, env):
+    df, pods, cfg = env
+    narrow = df.select("doc_id", "n_tok").filter(F.col("n_tok") > 100)
+    plan = plan_of(narrow)
+    # ReadSchema lists only the projected columns; the filter is pushed
+    assert "tokens" not in plan.split("ReadSchema")[-1]
+    assert "PushedFilters: [" in plan and "GreaterThan(n_tok,100)" in plan
+
+
+def test_route_is_case_not_join(env):
+    df, pods, cfg = env
+    routed, _ = transform_batch(df, pods, cfg)
+    plan = plan_of(routed)
+    # exactly one join (the pod dim); routing adds none
+    assert plan.count("Join") == plan.count("BroadcastHashJoin")
