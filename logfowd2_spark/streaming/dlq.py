@@ -99,7 +99,8 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
 
         good = good.withColumn("tokens", encode_line_sql(F.col("line")))
         good = good.withColumn("n_tok", F.size("tokens")).drop("retry_count")
-        recovered = route_stage(enrich_stage(good, pods), cfg)
+        # same output shape as regular batches (line/body not persisted)
+        recovered = route_stage(enrich_stage(good, pods), cfg).drop("line", "body")
         out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={tag}")
         write_routed(recovered.hint("rebalance", "sink_id"), out_dir, "overwrite")
         n_recovered = spark.read.parquet(out_dir).count()

@@ -129,6 +129,11 @@ def run_batch(
     # Arrow decode + split parse, and a cache would never hold a 100 TB
     # batch anyway — recompute is the scale-correct choice.
     routed, dlq = transform_batch(df, pods, cfg)
+    # `line`/`body` are derivable from `tokens` (the codec is bijective);
+    # carrying them through the shuffle + parquet write would roughly
+    # double the string bytes moved per row for no contract value (the
+    # routed-row equality contract is on tokens, FIXTURES.md §4)
+    routed = routed.drop("line", "body")
 
     write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite")
     write_dlq(dlq, dlq_dir, batch_id)
