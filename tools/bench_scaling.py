@@ -124,6 +124,13 @@ across levels.
 
 Per-sink counts identical at both levels: `{json.dumps(r_low['sink_counts'], sort_keys=True)}`
 
+Parallelism levels are chosen to fit UNDER the sandbox's external host
+load (the 32-core VM shares a host; loadavg from co-tenants is often
+5-10): N={low} and 4N={high} cores leave headroom so both levels receive
+their full core count, which is what real N- and 4N-executor clusters
+would get.  Efficiency at 8→32 on the same input measures host
+contention, not the pipeline.
+
 Config: AQE on (coalescePartitions, skewJoin); the fan-out write goes
 through REBALANCE(sink_id) (runtime salting of hot sinks + coalescing of
 cold ones); spark.sql.shuffle.partitions = cores at each level; advisory
