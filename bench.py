@@ -104,7 +104,7 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     routed, wall = bench_pipeline(spark, data_dir, f"cpu{cpus}")
-    times["pipeline_e2e_200k"] = round(wall, 3)
+    times["pipeline_e2e"] = round(wall, 3)
 
     total = round(sum(times.values()), 3)
     print(
