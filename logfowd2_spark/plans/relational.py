@@ -244,3 +244,28 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 @register("rollup_order_stats", _ROLLUP)
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _ROLLUP, ["orders"])
+
+
+_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_order_counts", _CUBE)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _CUBE, ["orders"])
+
+
+_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_orders", _GROUPING_SETS)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _GROUPING_SETS, ["orders"])

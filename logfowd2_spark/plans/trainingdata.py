@@ -319,6 +319,172 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF-bucketed ANN (the scale path) ---------------------------------------
+
+_IVF_DUCK = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (  -- deterministic 'centroids': the first 8 vectors
+  SELECT vec_id AS cent_id, e AS ce FROM base WHERE vec_id < 8),
+assign AS (  -- assign every vector to its nearest centroid bucket
+  SELECT vec_id, e,
+         (SELECT c.cent_id FROM cents c
+          ORDER BY list_dot_product(b.e, c.ce) /
+                   (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(c.ce, c.ce))) DESC,
+                   c.cent_id
+          LIMIT 1) AS bucket
+  FROM base b),
+q AS (SELECT vec_id AS qid, e AS qe, bucket FROM assign WHERE vec_id >= 8 AND vec_id < 18),
+c AS (SELECT vec_id AS cid, e AS ce, bucket FROM assign WHERE vec_id >= 18),
+s AS (SELECT qid, cid,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) AS score
+      FROM q JOIN c USING (bucket)),
+r AS (SELECT qid, cid, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rnk
+      FROM s)
+SELECT qid, cid, score, rnk FROM r WHERE rnk <= 3
+"""
+
+
+@register("ann_ivf_topk", _IVF_DUCK)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed ANN: vectors are assigned to their nearest
+    'centroid' (deterministic: the first 8 vectors), and queries only
+    score candidates sharing their bucket — the candidate set shrinks by
+    ~k× vs brute force.  At 100 TB this is the difference between a
+    full cross join and a bucket-equi-join: the join key (bucket) makes
+    the shuffle linear in data size, and real centroids would come from
+    a sampled k-means fit broadcast to executors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("e")).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.zip_with("e", "e", lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    cents = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored_cent = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "norm", "cent_id",
+        (
+            F.aggregate(F.zip_with("e", "ce", lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+            / (F.col("norm") * F.col("cn"))
+        ).alias("sim"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cent_id"))
+    assign = (
+        scored_cent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "norm", F.col("cent_id").alias("bucket"))
+    )
+    q = assign.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 18)).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("norm").alias("qn"), "bucket",
+    )
+    c = assign.filter(F.col("vec_id") >= 18).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"),
+        F.col("norm").alias("cn"), "bucket",
+    )
+    joined = q.join(c, "bucket")
+    dot = F.aggregate(F.zip_with("qe", "ce", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = joined.select(
+        "qid", "cid", F.round(dot / (F.col("qn") * F.col("cn")), 4).alias("score")
+    )
+    w2 = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid", "score", "rnk")
+    )
+
+
+# --- embedding-cosine near-dup pairs ------------------------------------------
+
+_COS_DUP = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 200),
+s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+      FROM base a JOIN base b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.3
+"""
+
+
+@register("embedding_cosine_dups", _COS_DUP)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (the
+    exact-verification half of near-dup detection; the IVF/LSH bucket
+    join above is what bounds the pair space at scale)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", as_double.alias("e")
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.zip_with("e", "e", lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)),
+    )
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
+                    F.col("norm").alias("an"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"),
+                    F.col("norm").alias("bn"))
+    joined = a.join(b, F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("ae", "be", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        joined.select("a_id", "b_id",
+                      F.round(dot / (F.col("an") * F.col("bn")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+# --- SimHash (Spark-only; rows-only driver check) ------------------------------
+
+
+@register("simhash_fingerprint")  # no SQL oracle: bit ops not portable
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over word features: per word, xxhash64 gives the
+    bit pattern; each bit contributes +1/-1; the sign vector is the
+    fingerprint.  Pure JVM (explode + bit ops + groupBy).  Near-dups
+    differ in few bits — at scale, band the fingerprint bytes and
+    bucket-join like LSH.  (No DuckDB oracle: 64-bit hash functions are
+    engine-specific; the driver records a rows-only check.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    hashed = words.select("doc_id", F.xxhash64("w").alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1)).alias(f"b{i}")
+            for i in range(16)  # 16 bits is enough to demonstrate; real: 64
+        ],
+    )
+    summed = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)]
+    )
+    fp = summed.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             * F.lit(2 ** i))
+            for i in range(16)
+        ).cast("bigint").alias("simhash16"),
+    )
+    return fp.orderBy("doc_id")
+
+
 _EMB_STATS = """
 SELECT label, count(*) AS n,
        CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
