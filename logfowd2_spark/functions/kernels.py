@@ -41,6 +41,13 @@ NON_PRINTABLE_RE = r"[^\x20-\x7E\t]"
 TRUNCATION_SUFFIX = "... [TRUNCATED]"
 
 
+def strip_line_endings(line: Column) -> Column:
+    """Strip trailing newline/CR, ≈ reference S4 (file.rs:193-199: lines
+    are split on \\n then trailing \\n and \\r removed) — a token stream
+    re-encoding raw file bytes may carry them."""
+    return F.regexp_replace(line, r"[\r\n]+$", "")
+
+
 def truncate_line(line: Column, max_line_size: int,
                   suffix: str = TRUNCATION_SUFFIX) -> Column:
     """Cut lines longer than ``max_line_size`` and append the marker.

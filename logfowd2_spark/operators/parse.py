@@ -19,6 +19,7 @@ from logfowd2_spark.config import PipelineConfig
 from logfowd2_spark.functions.kernels import (
     K8S_PATH_RE,
     sanitize_content,
+    strip_line_endings,
     truncate_line,
 )
 
@@ -58,6 +59,7 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
     which re-parses quarantined raw lines)."""
     if byte_len is None:
         byte_len = F.octet_length("line")
+    df = df.withColumn("line", strip_line_endings(F.col("line")))
     df = df.withColumn("line", sanitize_content(F.col("line")))
     df = df.withColumn(
         "line",

@@ -68,15 +68,18 @@ def salted_repartition(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-def write_routed(df: DataFrame, out_path: str, mode: str = "append") -> None:
+def write_routed(df: DataFrame, out_path: str, mode: str = "append",
+                 max_records_per_file: int = 0) -> None:
     """Fan-out write: one directory partition per (sink_id, log_date).
 
     Partitioned parquet stands in for per-sink Iceberg tables (plan B per
     SURVEY.md §7 risk d); the layout — `.../sink_id=X/log_date=D/` — is
     the analogue of the reference's per-day ES indices.
+    ``max_records_per_file`` (cfg.bulk_size) is the rebuild of the
+    reference's bulk batch bound (B1, sender.rs:58-67): it caps rows per
+    output file the way bulk_size capped events per ES _bulk call.
     """
-    (
-        df.write.mode(mode)
-        .partitionBy("sink_id", "log_date")
-        .parquet(out_path)
-    )
+    w = df.write.mode(mode).partitionBy("sink_id", "log_date")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(out_path)

@@ -135,7 +135,8 @@ def run_batch(
     # routed-row equality contract is on tokens, FIXTURES.md §4)
     routed = routed.drop("line", "body")
 
-    write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite")
+    write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite",
+                 max_records_per_file=cfg.bulk_size)
     write_dlq(dlq, dlq_dir, batch_id)
 
     # metrics + aggregate stage, computed from the *committed* batch

@@ -74,6 +74,57 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
     return writer.start()
 
 
+def stateful_dedup_stream(spark: SparkSession, cfg: PipelineConfig,
+                          queryName: str = "dedup_stream"):
+    """Custom stateful operator via ``applyInPandasWithState``:
+    cross-micro-batch exact dedup by doc_id.  State per key is a single
+    seen-flag; only a key's first occurrence is emitted.  This is the
+    canonical shape for custom stateful streaming ops the built-in
+    operators can't express (the streaming analogue of dedup over an
+    unbounded input; ``dropDuplicates`` on a stream keeps unbounded
+    state too — this variant shows the user-controlled state surface).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    stream = read_sequences_stream(spark, cfg, max_files_per_trigger=1)
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.exists:
+            seen = True
+        else:
+            seen = False
+            state.update((1,))
+        if not seen:
+            first = None
+            for pdf in pdf_iter:
+                if len(pdf):
+                    first = pdf.iloc[[0]][["doc_id", "source", "n_tok"]]
+                    break
+            if first is not None:
+                yield first
+        else:
+            for _ in pdf_iter:  # drain
+                pass
+
+    out = stream.groupBy("doc_id").applyInPandasWithState(
+        dedup_fn,
+        outputStructType="doc_id string, source string, n_tok int",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_level_counts(spark: SparkSession, cfg: PipelineConfig,
                           pods: DataFrame, window: str = "1 minute",
                           watermark: str = "5 minutes"):

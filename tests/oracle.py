@@ -43,6 +43,7 @@ def oracle_transform(
     def truncate(s: str) -> str:
         return s[:max_line_size] + suffix if len(s) > max_line_size else s
 
+    lines = lines.map(lambda s: re.sub(r"[\r\n]+$", "", s))
     lines = lines.map(sanitize).map(truncate)
 
     pod_attrs = pods.set_index("pod_id")[["node", "workload_kind", "labels_json"]]

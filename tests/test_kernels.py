@@ -17,6 +17,15 @@ def _one_col(spark, values, name="line"):
     return spark.createDataFrame([(v,) for v in values], [name])
 
 
+def test_strip_line_endings(spark):
+    # reference S4 semantics (file.rs:193-199): trailing \n and \r removed
+    from logfowd2_spark.functions.kernels import strip_line_endings
+
+    df = _one_col(spark, ["plain", "crlf\r\n", "cr\r", "lf\n", "mid\rdle"])
+    out = [r["s"] for r in df.select(strip_line_endings(F.col("line")).alias("s")).collect()]
+    assert out == ["plain", "crlf", "cr", "lf", "mid\rdle"]
+
+
 def test_truncate_line(spark):
     df = _one_col(spark, ["short", "x" * 20])
     out = df.select(truncate_line(F.col("line"), 10).alias("t")).collect()
