@@ -495,15 +495,17 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, level), aggregate per sink.  The DuckDB oracle computes the
     same result directly on the text (the codec round-trip is the identity
     on the data, which is exactly the invariant being checked)."""
-    from logfowd2_spark.codec import decode_tokens, encode_line
+    from logfowd2_spark.codec import decode_tokens_sql, encode_line_sql
     from logfowd2_spark.operators.route import route_expr
 
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     lines = spark.sql(_LINE_SPARK)
+    # the pure-JVM codec (the pipeline default): the whole encode→decode→
+    # grok→route→aggregate plan stays inside whole-stage codegen
     toks = lines.select(
-        "doc_id", "src", encode_line(F.col("line")).alias("tokens")
+        "doc_id", "src", encode_line_sql(F.col("line")).alias("tokens")
     )
-    decoded = toks.withColumn("line", decode_tokens(F.col("tokens"))).withColumn(
+    decoded = toks.withColumn("line", decode_tokens_sql(F.col("tokens"))).withColumn(
         "n_tok", F.size("tokens")
     )
     parsed = decoded.select(

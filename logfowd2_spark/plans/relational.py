@@ -143,7 +143,8 @@ FROM g GROUP BY user_id
 
 @register(
     "window_sessionize",
-    _SESSIONIZE.format(epoch_ts="epoch(ts)", epoch_prev="epoch(prev)"),
+    _SESSIONIZE.format(epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
+                       epoch_prev="CAST(floor(epoch(prev)) AS BIGINT)"),
 )
 def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag(): a 30-min-gap session counter per user —
@@ -256,6 +257,45 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 @register("cube_order_counts", _CUBE)
 def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _CUBE, ["orders"])
+
+
+# --- as-of join (via ordered window; the operator Spark lacks natively) -------
+
+_ASOF = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('error', 'purchase')),
+w AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_purchase_ts
+  FROM u)
+SELECT event_id, user_id,
+       (last_purchase_ts IS NOT NULL) AS has_prior_purchase,
+       CAST({epoch_ts} - {epoch_lp} AS BIGINT) AS secs_since_purchase
+FROM w WHERE event_type = 'error'
+"""
+
+
+@register(
+    "asof_join_last_purchase",
+    _ASOF.format(epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
+                 epoch_lp="CAST(floor(epoch(last_purchase_ts)) AS BIGINT)"),
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each error matched to the latest preceding purchase of
+    the same user), composed from an ordered window over the union — the
+    standard Spark formulation for an operator it lacks natively.  The
+    window is keyed per user, so no global sort; at scale this is one
+    shuffle on user_id."""
+    return _sql(
+        spark, sf_dir,
+        _ASOF.format(epoch_ts="unix_timestamp(ts)",
+                     epoch_lp="unix_timestamp(last_purchase_ts)"),
+        ["events"],
+    )
 
 
 _GROUPING_SETS = """
