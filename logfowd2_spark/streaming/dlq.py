@@ -37,11 +37,18 @@ DLQ_DDL = (
 
 
 def read_dlq(spark: SparkSession, dlq_path: str) -> DataFrame:
+    """DLQ projection over parse_failures.  Files may carry the full
+    routed schema (quarantine rows come off the unified fan-out write)
+    or the narrow redrive schema — mergeSchema + select normalizes."""
     import glob
 
     if not glob.glob(os.path.join(dlq_path, "**", "*.parquet"), recursive=True):
         return spark.createDataFrame([], DLQ_DDL)
-    return spark.read.parquet(dlq_path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(dlq_path)
+        .select(*DLQ_COLUMNS)
+    )
 
 
 def redrive_candidates(spark: SparkSession, dlq_path: str,

@@ -42,7 +42,6 @@ from logfowd2_spark.streaming.checkpoint import (
     load_manifest,
     save_manifest,
 )
-from logfowd2_spark.streaming.dlq import write_dlq
 from logfowd2_spark.streaming.metrics import BatchMetrics
 
 
@@ -106,6 +105,48 @@ def transform_batch(df: DataFrame, pods: DataFrame,
     return routed, dlq
 
 
+DLQ_SINK = "__dlq__"
+DLQ_DATE = "9999-01-01"
+
+
+def transform_batch_unified(df: DataFrame, pods: DataFrame,
+                            cfg: PipelineConfig) -> DataFrame:
+    """Single-output variant: failed-parse rows are routed to the
+    reserved ``__dlq__`` sink instead of a second branch, so ONE pass
+    (decode + parse + enrich + route) feeds one fan-out write; the
+    ``__dlq__`` partition directory is then *moved* into the
+    parse_failures table by the driver (a metadata rename, no data job).
+    Halves the per-batch compute vs. writing routed and DLQ separately.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.operators.route import route_expr  # noqa: PLC0415
+
+    parsed = parse_stage(df, cfg)
+    enriched = enrich_stage(parsed, pods)
+    ok = F.col("parse_ok")
+    out = enriched.withColumns(
+        {
+            "sink_id": F.when(
+                ok, route_expr(cfg.routes, F.col("source"), F.col("level"),
+                               cfg.default_sink)
+            ).otherwise(F.lit(DLQ_SINK)),
+            "log_date": F.when(ok, F.to_date("ts")).otherwise(
+                F.to_date(F.lit(DLQ_DATE))
+            ),
+            # quarantined rows keep their raw line for the redrive pass;
+            # good rows drop it (derivable from tokens)
+            "raw_line": F.when(ok, F.lit(None).cast("string")).otherwise(
+                F.col("line")
+            ),
+            "retry_count": F.when(ok, F.lit(None).cast("int")).otherwise(
+                F.lit(0)
+            ),
+        }
+    )
+    return out.drop("line", "body", "parse_ok")
+
+
 def run_batch(
     spark: SparkSession,
     batch_id: str,
@@ -123,21 +164,25 @@ def run_batch(
         shutil.rmtree(d, ignore_errors=True)
 
     df = spark.read.parquet(*files)
-    # Two independent passes (routed write, DLQ write) over the same
-    # lineage.  Deliberately NOT persisted: rebuilding the in-memory
-    # columnar cache of the token arrays costs more than re-running the
-    # Arrow decode + split parse, and a cache would never hold a 100 TB
-    # batch anyway — recompute is the scale-correct choice.
-    routed, dlq = transform_batch(df, pods, cfg)
-    # `line`/`body` are derivable from `tokens` (the codec is bijective);
-    # carrying them through the shuffle + parquet write would roughly
-    # double the string bytes moved per row for no contract value (the
-    # routed-row equality contract is on tokens, FIXTURES.md §4)
-    routed = routed.drop("line", "body")
-
-    write_routed(repartition_for_write(routed, cfg), out_dir, mode="overwrite",
+    # ONE pass over the data: failed rows ride the same fan-out write
+    # under the reserved __dlq__ sink, then their partition directory is
+    # renamed into the parse_failures table (metadata-only).  Nothing is
+    # persisted/cached: a cache would never hold a 100 TB batch.
+    unified = transform_batch_unified(df, pods, cfg)
+    write_routed(repartition_for_write(unified, cfg), out_dir, mode="overwrite",
                  max_records_per_file=cfg.bulk_size)
-    write_dlq(dlq, dlq_dir, batch_id)
+
+    # move the quarantine partition out of the routed table
+    dlq_src = os.path.join(out_dir, f"sink_id={DLQ_SINK}")
+    if os.path.isdir(dlq_src):
+        os.makedirs(dlq_batch_dir, exist_ok=True)
+        date_dir = os.path.join(dlq_src, f"log_date={DLQ_DATE}")
+        src = date_dir if os.path.isdir(date_dir) else dlq_src
+        for fname in os.listdir(src):
+            if not fname.startswith("."):
+                os.replace(os.path.join(src, fname),
+                           os.path.join(dlq_batch_dir, fname))
+        shutil.rmtree(dlq_src, ignore_errors=True)
 
     # metrics + aggregate stage, computed from the *committed* batch
     # output in ONE pass: the per-partition lineage rows fold up to the
