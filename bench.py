@@ -29,6 +29,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "asof_join_last_purchase",
+    "window_sessionize",
 ]
 
 PIPE_ROWS = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "1000000"))
