@@ -106,3 +106,33 @@ def test_grok_rejects_malformed(spark):
     g = grok_line(F.col("line"))
     for row in df.select(g["level"].alias("level")).collect():
         assert row["level"] == ""
+
+
+def test_sanitize_exact_10pct_boundary(spark):
+    # trigger is ctl*10 > len (strict): 1 ctl in 10 chars ⇒ NOT corrupted,
+    # 2 in 10 ⇒ corrupted (mirrors file.rs ratio predicate)
+    from logfowd2_spark.functions.kernels import sanitize_content
+
+    at_boundary = "aaaaaaaaa\x01"        # 1/10 = 10% → clean
+    over = "aaaaaaaa\x01\x01"            # 2/10 = 20% → sanitized
+    df = _one_col(spark, [at_boundary, over])
+    out = [r["s"] for r in df.select(sanitize_content(F.col("line")).alias("s")).collect()]
+    assert out[0] == at_boundary
+    assert out[1] == "aaaaaaaa??"
+
+
+def test_truncate_exact_boundary(spark):
+    # exactly max_line_size chars pass through untouched
+    df = _one_col(spark, ["x" * 10, "x" * 11])
+    out = [r["t"] for r in df.select(truncate_line(F.col("line"), 10).alias("t")).collect()]
+    assert out[0] == "x" * 10
+    assert out[1] == "x" * 10 + "... [TRUNCATED]"
+
+
+def test_grok_level_is_anchored_word(spark):
+    # 'INFOX' or lowercase must not match (mirrors watcher.rs level set)
+    line_t = "2024-03-01T00:00:05Z {lvl} " + K8S_VALID + " body"
+    df = _one_col(spark, [line_t.format(lvl="INFOX"), line_t.format(lvl="info")])
+    g = grok_line(F.col("line"))
+    for row in df.select(g["level"].alias("level")).collect():
+        assert row["level"] == ""
