@@ -73,6 +73,9 @@ class PipelineConfig:
 
     # --- DLQ (reference dead_letter_queue.rs:31-40)
     dlq_max_retry_count: int = 5
+    # quarantine capacity, drop-oldest on overflow (reference
+    # dead_letter_queue.rs:84-94: max_queue_size=10_000 + pop_front)
+    dlq_max_size: int = 10_000
 
     # --- codec path: "jvm" decodes tokens with a pure whole-stage-codegen
     # chr() mapping (byte↔char bijection; exact for ASCII payloads, and
@@ -102,6 +105,8 @@ class PipelineConfig:
             raise ValueError("routes must not be empty")
         if self.codec not in ("jvm", "arrow"):
             raise ValueError("codec must be 'jvm' or 'arrow'")
+        if self.dlq_max_size <= 0:
+            raise ValueError("dlq_max_size must be > 0")
         for src, lvl, sink in self.routes:
             if not sink:
                 raise ValueError(f"route ({src},{lvl}) has empty sink")

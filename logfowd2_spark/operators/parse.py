@@ -29,7 +29,6 @@ PARSED_COLUMNS = [
     "pod_id", "container_name", "body", "parse_ok", "failure_reason",
 ]
 
-TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ssXXX"
 
 
 def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -94,9 +93,14 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
             "pod_id": pgrp(3),
             "container_name": pgrp(4),
             "body": F.coalesce(body, F.lit("")),
-            "ts": F.when(
-                ts_ok, F.try_to_timestamp(ts_raw, F.lit(TS_FORMAT))
-            ).otherwise(F.lit(None).cast("timestamp")),
+            # ISO-8601 with optional fractional seconds: the ANSI cast
+            # accepts '...T..:..:..[.f+]Z' uniformly, so a grammar-valid
+            # '2024-03-01T00:00:00.123Z' parses instead of being
+            # quarantined (a fixed-pattern to_timestamp would reject the
+            # fraction the ts_ok regex accepts)
+            "ts": F.when(ts_ok, ts_raw.try_cast("timestamp")).otherwise(
+                F.lit(None).cast("timestamp")
+            ),
         }
     )
     df = df.withColumn(

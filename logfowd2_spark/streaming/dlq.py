@@ -7,18 +7,41 @@ retry loop at pool.rs:358-470).  Here failed-parse rows land in a
 ``parse_failures`` parquet table (append, partitioned by batch) and a
 re-drive pass re-parses quarantined raw lines on the next run,
 incrementing ``retry_count`` and dropping rows past the cap.
+
+Everything is distributed: the redrive writes its new generation with
+DataFrame writes and counts via ``df.observe`` — no ``collect()``
+anywhere, so a TB-sized DLQ after a bad-parser day cannot OOM the
+driver.  The capacity cap (reference dead_letter_queue.rs:84-94:
+max_queue_size=10_000, drop-oldest) is enforced from parquet footers
+(driver-side metadata) plus at most one boundary-trim job.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from logfowd2_spark.config import PipelineConfig
 
 DLQ_COLUMNS = ["doc_id", "source", "raw_line", "failure_reason", "retry_count"]
+
+
+def observation_values(obs: Observation) -> dict:
+    """Read an observation defensively: a write whose AQE-planned output
+    is empty (zero tasks) never executes its CollectMetrics node, and
+    ``Observation.get`` then fails converting the missing row — which
+    simply means 'no rows flowed', i.e. every aggregate is 0/None."""
+    try:
+        return obs.get or {}
+    except Exception:  # noqa: BLE001 - missing metrics row == empty batch
+        return {}
+
+
+def _obs_n(obs: Observation) -> int:
+    return int(observation_values(obs).get("n") or 0)
 
 
 def write_dlq(dlq: DataFrame, dlq_path: str, batch_id: str) -> None:
@@ -34,6 +57,16 @@ DLQ_DDL = (
     "doc_id string, source string, raw_line string, "
     "failure_reason string, retry_count int"
 )
+
+
+def _dlq_batch_dirs(dlq_path: str) -> list[str]:
+    if not os.path.isdir(dlq_path):
+        return []
+    return [
+        os.path.join(dlq_path, d)
+        for d in sorted(os.listdir(dlq_path))
+        if d.startswith("batch_id=")
+    ]
 
 
 def read_dlq(spark: SparkSession, dlq_path: str) -> DataFrame:
@@ -66,69 +99,132 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     110-180): re-parse every still-eligible quarantined line; recovered
     rows flow through enrich+route into a ``redrive-N`` batch dir,
     still-failing rows are re-quarantined with retry_count+1, rows past
-    ``dlq_max_retry_count`` are dropped (permanently failed).  The
-    consumed generation dirs are replaced by the new one (take-off-queue
-    semantics).
+    ``dlq_max_retry_count`` are RETAINED marked permanently-failed
+    (dead_letter_queue.rs:48-55 accounting).  The consumed generation
+    dirs are replaced by the new one (take-off-queue semantics).
+
+    Fully distributed: the quarantined rows never visit the driver; the
+    re-parse carries ``retry_count`` straight through the parse stage
+    (no restore join — the round-1 doc_id equi-join could fan out rows
+    quarantined twice), and all counts come from ``df.observe`` on the
+    writes.
     """
-    import shutil
-
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    from logfowd2_spark.operators.enrich import enrich_stage
-    from logfowd2_spark.operators.parse import parse_lines, split_parsed
-    from logfowd2_spark.operators.route import route_stage, write_routed
+    from logfowd2_spark.operators.enrich import enrich_stage  # noqa: PLC0415
+    from logfowd2_spark.operators.parse import parse_lines  # noqa: PLC0415
+    from logfowd2_spark.operators.route import route_stage, write_routed  # noqa: PLC0415
 
     dlq_path = os.path.join(cfg.output_path, "parse_failures")
-    old_dirs = [
-        os.path.join(dlq_path, d)
-        for d in sorted(os.listdir(dlq_path))
-        if d.startswith("batch_id=")
-    ]
+    old_dirs = _dlq_batch_dirs(dlq_path)
     df = read_dlq(spark, dlq_path)
     eligible = df.filter(F.col("retry_count") < cfg.dlq_max_retry_count)
     dropped = df.filter(F.col("retry_count") >= cfg.dlq_max_retry_count)
 
+    # retry_count rides through the parse stage untouched — its new value
+    # is (old + 1) for rows that fail again, no join needed
     reparsed = parse_lines(
         eligible.select("doc_id", "source", F.col("raw_line").alias("line"),
                         "retry_count"),
         cfg,
     )
-    good, still_bad = split_parsed(reparsed)
-    # split_parsed resets retry_count to 0; restore the incremented count
-    still_bad = still_bad.drop("retry_count").join(
-        eligible.select("doc_id", F.col("retry_count").alias("_rc")), "doc_id"
-    ).withColumn("retry_count", F.col("_rc") + 1).drop("_rc")
+    good = reparsed.filter(F.col("parse_ok")).drop(
+        "parse_ok", "failure_reason", "retry_count"
+    )
+    still_bad = reparsed.filter(~F.col("parse_ok")).select(
+        "doc_id", "source", F.col("line").alias("raw_line"), "failure_reason",
+        (F.col("retry_count") + 1).alias("retry_count"),
+    )
 
     tag = f"redrive-{generation:05d}"
-    n_recovered = 0
-    if good.limit(1).count():
-        from logfowd2_spark.codec import encode_line_sql  # noqa: PLC0415
 
-        good = good.withColumn("tokens", encode_line_sql(F.col("line")))
-        good = good.withColumn("n_tok", F.size("tokens")).drop("retry_count")
-        # same output shape as regular batches (line/body not persisted)
-        recovered = route_stage(enrich_stage(good, pods), cfg).drop("line", "body")
-        out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={tag}")
-        write_routed(recovered.hint("rebalance", "sink_id"), out_dir, "overwrite")
-        n_recovered = spark.read.parquet(out_dir).count()
+    # recovered rows: same output shape as regular batches
+    from logfowd2_spark.codec import encode_line_sql  # noqa: PLC0415
 
-    requeued_rows = still_bad.select(*DLQ_COLUMNS).collect()
-    # permanently-failed rows are RETAINED (marked by retry_count ≥ cap),
-    # matching the reference's permanently_failed accounting
-    # (dead_letter_queue.rs:48-55) — only recovered rows leave the queue
-    dropped_rows = dropped.select(*DLQ_COLUMNS).collect()
+    good = good.withColumn("tokens", encode_line_sql(F.col("line")))
+    good = good.withColumn("n_tok", F.size("tokens"))
+    recovered = route_stage(enrich_stage(good, pods), cfg).drop("line", "body")
+    out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={tag}")
+    rec_obs = Observation()
+    write_routed(
+        recovered.observe(rec_obs, F.count(F.lit(1)).alias("n"))
+        .hint("rebalance", "sink_id"),
+        out_dir, "overwrite",
+    )
+    n_recovered = _obs_n(rec_obs)
+
+    # new DLQ generation: requeued + permanently-failed rows, written
+    # distributed into a fresh batch_id dir (created after the source
+    # listing, so the reads above never see it)
+    new_dir = os.path.join(dlq_path, f"batch_id={tag}")
+    rq_obs, pf_obs = Observation(), Observation()
+    (
+        still_bad.observe(rq_obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite").parquet(new_dir)
+    )
+    (
+        dropped.select(*DLQ_COLUMNS)
+        .observe(pf_obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("append").parquet(new_dir)
+    )
+    n_requeued = _obs_n(rq_obs)
+    n_dropped = _obs_n(pf_obs)
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
-    new_rows = requeued_rows + dropped_rows
-    if new_rows:
-        spark.createDataFrame(new_rows, DLQ_DDL).withColumn(
-            "batch_id", F.lit(tag)
-        ).write.mode("append").partitionBy("batch_id").parquet(dlq_path)
     return {
         "recovered": n_recovered,
-        "requeued": len(requeued_rows),
-        "permanently_failed": len(dropped_rows),
+        "requeued": n_requeued,
+        "permanently_failed": n_dropped,
     }
+
+
+def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
+                    cfg: PipelineConfig) -> int:
+    """Bound the quarantine at ``dlq_max_size`` rows, dropping oldest
+    first (reference dead_letter_queue.rs:84-94: push_back + pop_front
+    at capacity).  Age order is generation order (batch_id dirs sort
+    lexicographically within a run); whole stale generations are removed
+    via footer counts (metadata-only), and at most ONE boundary
+    generation is trimmed with a small Spark job over just that dir.
+    Returns the number of rows dropped.
+    """
+    import pyarrow.parquet as pq
+
+    dirs = _dlq_batch_dirs(dlq_path)
+    counts = []
+    for d in dirs:
+        n = 0
+        for root, _s, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        counts.append((d, n))
+    total = sum(n for _d, n in counts)
+    overflow = total - cfg.dlq_max_size
+    if overflow <= 0:
+        return 0
+    dropped = 0
+    for d, n in counts:  # oldest generation first
+        if overflow <= 0:
+            break
+        if n <= overflow:
+            shutil.rmtree(d, ignore_errors=True)
+            overflow -= n
+            dropped += n
+            continue
+        # boundary generation: keep the newest (n - overflow) rows;
+        # within a generation, doc_id ascending is the deterministic
+        # age proxy (enqueue order is not recorded per row)
+        keep = (
+            spark.read.option("mergeSchema", "true").parquet(d)
+            .orderBy(F.col("doc_id").desc())
+            .limit(n - overflow)
+        )
+        tmp = d + ".trim"
+        keep.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+        dropped += overflow
+        overflow = 0
+    return dropped
 
 
 def dlq_stats(spark: SparkSession, dlq_path: str,

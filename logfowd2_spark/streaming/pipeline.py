@@ -18,6 +18,13 @@ under its own ``batch_id=...`` directory which is cleared before a
 retry, so a crash between write and manifest-commit cannot duplicate
 data (the reference instead replays up to 10 s of events and duplicates
 docs — SURVEY.md §3.2; this is the deliberate upgrade).
+
+Single-pass accounting: per-sink stats ride the write job as
+``df.observe()`` metrics (one CollectMetrics node, zero extra jobs) and
+per-partition lineage comes from the written parquet footers
+(driver-side metadata reads) — the input data is scanned EXACTLY once
+per batch.  At 100 TB a second stats scan would double the pipeline's
+I/O; observe() makes the same numbers free.
 """
 
 from __future__ import annotations
@@ -25,10 +32,10 @@ from __future__ import annotations
 import shutil
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from logfowd2_spark.config import PipelineConfig
-from logfowd2_spark.operators.aggregate import partition_manifest_rows
 from logfowd2_spark.operators.enrich import enrich_stage
 from logfowd2_spark.operators.parse import parse_stage, split_parsed
 from logfowd2_spark.operators.route import (
@@ -43,13 +50,6 @@ from logfowd2_spark.streaming.checkpoint import (
     save_manifest,
 )
 from logfowd2_spark.streaming.metrics import BatchMetrics
-
-
-def _parquet_num_rows(files: list[str]) -> int:
-    """Row count from parquet footers — driver-side, no Spark job."""
-    import pyarrow.parquet as pq
-
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _write_stats_pyarrow(stats_dir: str, agg: dict[str, dict[str, int]]) -> None:
@@ -118,8 +118,6 @@ def transform_batch_unified(df: DataFrame, pods: DataFrame,
     parse_failures table by the driver (a metadata rename, no data job).
     Halves the per-batch compute vs. writing routed and DLQ separately.
     """
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     from logfowd2_spark.operators.route import route_expr  # noqa: PLC0415
 
     parsed = parse_stage(df, cfg)
@@ -147,6 +145,151 @@ def transform_batch_unified(df: DataFrame, pods: DataFrame,
     return out.drop("line", "body", "parse_ok")
 
 
+def _all_sinks(cfg: PipelineConfig) -> list[str]:
+    """The sink universe is known at plan time (routes are config)."""
+    sinks = {sink for _src, _lvl, sink in cfg.routes} | {cfg.default_sink}
+    return sorted(sinks) + [DLQ_SINK]
+
+
+def _observe_exprs(sinks: list[str]) -> list:
+    """Per-sink conditional aggregates for ``df.observe`` — the sink set
+    is config-sized, so the CollectMetrics row stays tiny (3 values per
+    sink) regardless of data scale."""
+    exprs = [F.count(F.lit(1)).alias("rows_in")]
+    for i, s in enumerate(sinks):
+        hit = F.col("sink_id") == s
+        exprs += [
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"c{i}"),
+            F.sum(F.when(hit, F.col("n_tok"))).alias(f"t{i}"),
+            F.sum(F.when(hit, F.col("byte_len"))).alias(f"b{i}"),
+        ]
+    return exprs
+
+
+def _stats_from_observation(vals: dict, sinks: list[str]) -> dict[str, dict[str, int]]:
+    agg: dict[str, dict[str, int]] = {}
+    for i, s in enumerate(sinks):
+        n = int(vals.get(f"c{i}") or 0)
+        if n == 0:
+            continue
+        agg[s] = {
+            "event_count": n,
+            "token_total": int(vals.get(f"t{i}") or 0),
+            "byte_total": int(vals.get(f"b{i}") or 0),
+        }
+    return agg
+
+
+def _partition_lineage_from_footers(out_dir: str) -> list[dict]:
+    """Per-partition lineage from the written parquet footers — pure
+    driver-side metadata reads (no Spark job, no data scan).  The task
+    (= write partition) id is encoded in the file name
+    (``part-NNNNN-...``); row counts come from the footer.
+    """
+    import pyarrow.parquet as pq
+
+    rows: list[dict] = []
+    for root, _dirs, files in os.walk(out_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(root, fn)
+            parts = dict(
+                seg.split("=", 1)
+                for seg in os.path.relpath(root, out_dir).split(os.sep)
+                if "=" in seg
+            )
+            try:
+                pid = int(fn.split("-")[1])
+            except (IndexError, ValueError):
+                pid = -1
+            rows.append(
+                {
+                    "partition_id": pid,
+                    "sink_id": parts.get("sink_id", ""),
+                    "log_date": parts.get("log_date", ""),
+                    "rows_routed": pq.ParquetFile(full).metadata.num_rows,
+                    "file_bytes": os.path.getsize(full),
+                }
+            )
+    return rows
+
+
+def _move_dlq_partition(out_dir: str, dlq_batch_dir: str) -> None:
+    """Relocate the reserved ``__dlq__`` sink partition into the
+    parse_failures table.  POSIX rename (metadata-only) — declared plan-B
+    for local/HDFS filesystems; on an object store this would be the
+    sink connector's commit (SURVEY.md §7 risk d)."""
+    dlq_src = os.path.join(out_dir, f"sink_id={DLQ_SINK}")
+    if not os.path.isdir(dlq_src):
+        return
+    os.makedirs(dlq_batch_dir, exist_ok=True)
+    date_dir = os.path.join(dlq_src, f"log_date={DLQ_DATE}")
+    src = date_dir if os.path.isdir(date_dir) else dlq_src
+    for fname in os.listdir(src):
+        if not fname.startswith("."):
+            os.replace(os.path.join(src, fname),
+                       os.path.join(dlq_batch_dir, fname))
+    shutil.rmtree(dlq_src, ignore_errors=True)
+
+
+def execute_unified_batch(
+    df: DataFrame,
+    pods: DataFrame,
+    cfg: PipelineConfig,
+    batch_tag: str,
+) -> BatchMetrics:
+    """ONE Spark job per batch: transform → observe → fan-out write.
+
+    Shared by batch mode (``run_batch``) and the streaming path
+    (``foreachBatch``), so both produce the identical output layout —
+    routed/batch_id=<tag>/sink_id=S/log_date=D plus a
+    parse_failures/batch_id=<tag> quarantine partition and a
+    sink_stats/batch_id=<tag> stats table.
+    """
+    out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_tag}")
+    stats_dir = os.path.join(cfg.output_path, "sink_stats", f"batch_id={batch_tag}")
+    dlq_batch_dir = os.path.join(cfg.output_path, "parse_failures",
+                                 f"batch_id={batch_tag}")
+    # idempotent retry: clear any partial output of a crashed attempt
+    for d in (out_dir, stats_dir, dlq_batch_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    sinks = _all_sinks(cfg)
+    obs = Observation()
+    unified = transform_batch_unified(df, pods, cfg).observe(
+        obs, *_observe_exprs(sinks)
+    )
+    write_routed(repartition_for_write(unified, cfg), out_dir, mode="overwrite",
+                 max_records_per_file=cfg.bulk_size)
+    from logfowd2_spark.streaming.dlq import observation_values  # noqa: PLC0415
+
+    vals = observation_values(obs)  # populated by the write job — no second scan
+
+    # lineage BEFORE the quarantine move so the walk sees one layout;
+    # __dlq__ rows are excluded from routed lineage below
+    lineage = [
+        r for r in _partition_lineage_from_footers(out_dir)
+        if r["sink_id"] != DLQ_SINK
+    ]
+    _move_dlq_partition(out_dir, dlq_batch_dir)
+
+    agg = _stats_from_observation(vals, sinks)
+    dlq_stats_row = agg.pop(DLQ_SINK, None)
+    _write_stats_pyarrow(stats_dir, agg)
+    sink_counts = {k: v["event_count"] for k, v in agg.items()}
+
+    m = BatchMetrics(
+        rows_in=int(vals.get("rows_in") or 0),
+        rows_routed=sum(sink_counts.values()),
+        sink_counts=sink_counts,
+        partition_metrics=lineage,
+    )
+    m.parse_failures = dlq_stats_row["event_count"] if dlq_stats_row else 0
+    m.rows_parsed = m.rows_routed
+    return m
+
+
 def run_batch(
     spark: SparkSession,
     batch_id: str,
@@ -155,61 +298,11 @@ def run_batch(
     cfg: PipelineConfig,
 ) -> BatchMetrics:
     """Execute one micro-batch end-to-end and return its metrics."""
-    out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
-    stats_dir = os.path.join(cfg.output_path, "sink_stats", f"batch_id={batch_id}")
-    dlq_dir = os.path.join(cfg.output_path, "parse_failures")
-    dlq_batch_dir = os.path.join(dlq_dir, f"batch_id={batch_id}")
-    # idempotent retry: clear any partial output of a crashed attempt
-    for d in (out_dir, stats_dir, dlq_batch_dir):
-        shutil.rmtree(d, ignore_errors=True)
-
     df = spark.read.parquet(*files)
-    # ONE pass over the data: failed rows ride the same fan-out write
-    # under the reserved __dlq__ sink, then their partition directory is
-    # renamed into the parse_failures table (metadata-only).  Nothing is
-    # persisted/cached: a cache would never hold a 100 TB batch.
-    unified = transform_batch_unified(df, pods, cfg)
-    write_routed(repartition_for_write(unified, cfg), out_dir, mode="overwrite",
-                 max_records_per_file=cfg.bulk_size)
+    m = execute_unified_batch(df, pods, cfg, batch_id)
+    from logfowd2_spark.streaming.dlq import enforce_dlq_cap  # noqa: PLC0415
 
-    # move the quarantine partition out of the routed table
-    dlq_src = os.path.join(out_dir, f"sink_id={DLQ_SINK}")
-    if os.path.isdir(dlq_src):
-        os.makedirs(dlq_batch_dir, exist_ok=True)
-        date_dir = os.path.join(dlq_src, f"log_date={DLQ_DATE}")
-        src = date_dir if os.path.isdir(date_dir) else dlq_src
-        for fname in os.listdir(src):
-            if not fname.startswith("."):
-                os.replace(os.path.join(src, fname),
-                           os.path.join(dlq_batch_dir, fname))
-        shutil.rmtree(dlq_src, ignore_errors=True)
-
-    # metrics + aggregate stage, computed from the *committed* batch
-    # output in ONE pass: the per-partition lineage rows fold up to the
-    # per-sink stats driver-side (both are tiny: tasks × sinks rows)
-    committed = spark.read.parquet(out_dir)
-    part_rows = [r.asDict() for r in partition_manifest_rows(committed).collect()]
-    agg: dict[str, dict[str, int]] = {}
-    for r in part_rows:
-        s = agg.setdefault(
-            r["sink_id"], {"event_count": 0, "token_total": 0, "byte_total": 0}
-        )
-        s["event_count"] += r["rows_routed"]
-        s["token_total"] += r["token_total"]
-        s["byte_total"] += r["byte_total"]
-    # stats + input counts are driver-side pyarrow (a handful of rows /
-    # parquet footer metadata) — no Spark jobs for bookkeeping
-    _write_stats_pyarrow(stats_dir, agg)
-    sink_counts = {k: v["event_count"] for k, v in agg.items()}
-
-    m = BatchMetrics(
-        rows_in=_parquet_num_rows(files),
-        rows_routed=sum(sink_counts.values()),
-        sink_counts=sink_counts,
-        partition_metrics=part_rows,
-    )
-    m.parse_failures = m.rows_in - m.rows_routed
-    m.rows_parsed = m.rows_routed
+    enforce_dlq_cap(spark, os.path.join(cfg.output_path, "parse_failures"), cfg)
     return m
 
 

@@ -17,13 +17,10 @@ appearing in tailed files (SURVEY.md §2.1 S2).  Two entry points:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logfowd2_spark.config import PipelineConfig
-from logfowd2_spark.operators.route import write_routed
 from logfowd2_spark.streaming.pipeline import transform_batch
 from logfowd2_spark.synth import SEQUENCES_ARROW_SCHEMA  # noqa: F401 (doc)
 
@@ -46,23 +43,18 @@ def read_sequences_stream(spark: SparkSession, cfg: PipelineConfig,
 
 def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
                        pods: DataFrame, available_now: bool = True):
-    """Start the stream: each micro-batch runs the SAME pure transform as
-    batch mode (one code path, two execution modes), fanning out to the
-    per-sink layout.  Returns the StreamingQuery (caller awaits it)."""
+    """Start the stream: each micro-batch runs the SAME single-pass
+    unified transform+write as batch mode (``execute_unified_batch``),
+    so the streaming path shares batch mode's output layout exactly —
+    including the ``parse_failures/batch_id=...`` quarantine partitioning
+    that the redrive pass consumes (one DLQ layout across modes) and the
+    per-batch sink_stats table.  Returns the StreamingQuery."""
+    from logfowd2_spark.streaming.pipeline import execute_unified_batch  # noqa: PLC0415
+
     stream = read_sequences_stream(spark, cfg)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        routed, dlq = transform_batch(batch_df, pods, cfg)
-        write_routed(
-            routed.hint("rebalance", "sink_id"),
-            os.path.join(cfg.output_path, "routed", f"batch_id=stream-{batch_id:05d}"),
-            mode="overwrite",
-        )
-        (
-            dlq.withColumn("batch_id", F.lit(f"stream-{batch_id:05d}"))
-            .write.mode("append")
-            .parquet(os.path.join(cfg.output_path, "parse_failures"))
-        )
+        execute_unified_batch(batch_df, pods, cfg, f"stream-{batch_id:05d}")
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

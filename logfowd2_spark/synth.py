@@ -59,6 +59,7 @@ DIM_MISS_FRAC = 0.03       # rows whose pod_id is absent from pods
 CORRUPT_STRUCT_FRAC = 0.010  # structural damage → parse failure (DLQ)
 CORRUPT_NUL_FRAC = 0.005     # NUL bytes in body → sanitized, still parses
 CORRUPT_LONG_FRAC = 0.005    # oversized body → truncated, still parses
+FRAC_TS_FRAC = 0.005         # fractional-seconds timestamp → valid, parses
 
 
 def gen_pods(n_pods: int = 200, seed: int = 42) -> pd.DataFrame:
@@ -98,7 +99,8 @@ def gen_lines(n_rows: int, pods: pd.DataFrame, seed: int = 42,
 
     ts = BASE_TS + i.astype("timedelta64[s]")
     ts_str = np.datetime_as_string(ts, unit="s")
-    ts_str = np.char.add(ts_str, "Z")
+    # object dtype so the fractional-ts injection below can lengthen rows
+    ts_str = np.char.add(ts_str, "Z").astype(object)
 
     level = _weighted_pick(rng, LEVELS, LEVEL_WEIGHTS, n_rows)
     source = _weighted_pick(rng, SOURCES, SOURCE_WEIGHTS, n_rows)
@@ -129,6 +131,12 @@ def gen_lines(n_rows: int, pods: pd.DataFrame, seed: int = 42,
         (u >= CORRUPT_STRUCT_FRAC + CORRUPT_NUL_FRAC)
         & (u < CORRUPT_STRUCT_FRAC + CORRUPT_NUL_FRAC + CORRUPT_LONG_FRAC)
     )
+    _c3 = CORRUPT_STRUCT_FRAC + CORRUPT_NUL_FRAC + CORRUPT_LONG_FRAC
+    frac_ts_mask = (u >= _c3) & (u < _c3 + FRAC_TS_FRAC)
+    # grammar-valid variant: ISO-8601 with fractional seconds (the ts
+    # regex accepts it; the engine must parse it, not quarantine it)
+    for r in np.flatnonzero(frac_ts_mask):
+        ts_str[r] = ts_str[r][:-1] + ".123Z"
     for r in np.flatnonzero(nul_mask):
         bodies[r] = bodies[r] + " \x00\x00corrupt\x00 tail"
     for r in np.flatnonzero(long_mask):

@@ -41,7 +41,10 @@ def oracle_transform(
         return s
 
     def truncate(s: str) -> str:
-        return s[:max_line_size] + suffix if len(s) > max_line_size else s
+        # byte-budget threshold, codepoint cut (matches kernels.truncate_line)
+        if len(s.encode("utf-8")) > max_line_size:
+            return s[:max_line_size] + suffix
+        return s
 
     lines = lines.map(lambda s: re.sub(r"[\r\n]+$", "", s))
     lines = lines.map(sanitize).map(truncate)

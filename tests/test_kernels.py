@@ -136,3 +136,39 @@ def test_grok_level_is_anchored_word(spark):
     g = grok_line(F.col("line"))
     for row in df.select(g["level"].alias("level")).collect():
         assert row["level"] == ""
+
+
+def test_parse_fractional_seconds_timestamp(spark):
+    """A grammar-valid ts with fractional seconds must parse (round-1
+    bug: the fixed-pattern to_timestamp quarantined it as bad_timestamp
+    while the ts regex and the oracle accepted it)."""
+    from logfowd2_spark.config import PipelineConfig
+    from logfowd2_spark.operators.parse import parse_lines
+
+    lines = [
+        ("d1", "app", "2024-03-01T00:00:00.123Z INFO "
+         "/var/log/pods/ns-1_pod-1_pid-000001/main/0.log hello frac"),
+        ("d2", "app", "2024-03-01T00:00:00Z INFO "
+         "/var/log/pods/ns-1_pod-1_pid-000001/main/0.log hello plain"),
+        ("d3", "app", "2024-03-01T99:99:99Z INFO "
+         "/var/log/pods/ns-1_pod-1_pid-000001/main/0.log bad wallclock"),
+    ]
+    df = spark.createDataFrame(lines, "doc_id string, source string, line string")
+    out = parse_lines(df, PipelineConfig()).select(
+        "doc_id", "parse_ok", "failure_reason",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_fmt"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["d1"]["parse_ok"] and by_id["d1"]["ts_fmt"] == "2024-03-01 00:00:00.123"
+    assert by_id["d2"]["parse_ok"] and by_id["d2"]["ts_fmt"] == "2024-03-01 00:00:00.000"
+    # out-of-range wall clock: regex matches shape but the cast fails
+    assert not by_id["d3"]["parse_ok"]
+    assert by_id["d3"]["failure_reason"] == "bad_timestamp"
+
+
+def test_truncate_threshold_is_bytes(spark):
+    # 3 chars = 6 bytes: over a 5-BYTE budget even though len() is 3
+    df = _one_col(spark, ["ééé"])
+    out = df.select(truncate_line(F.col("line"), 5).alias("t")).collect()
+    # trigger fires on bytes (6 > 5); codepoint cut keeps all 3 chars
+    assert out[0]["t"] == "ééé... [TRUNCATED]"

@@ -56,6 +56,21 @@ def test_streaming_matches_batch(spark, dataset):
     # files → at least 1; checkpoint offsets exist)
     assert os.path.exists(str(d / "stream-ckpt" / "offsets"))
 
+    # cross-mode DLQ layout: streaming quarantine uses the SAME
+    # batch_id=... partition dirs as batch mode, so read_dlq sees every
+    # quarantined row and the redrive pass can consume them (round-1 bug:
+    # flat-file DLQ writes were silently dropped next to partitioned ones)
+    from logfowd2_spark.streaming.dlq import read_dlq
+
+    s_dlq = read_dlq(spark, str(d / "stream-out" / "parse_failures"))
+    b_dlq = read_dlq(spark, str(d / "batch-out" / "parse_failures"))
+    assert s_dlq.count() == b_dlq.count() == bm[0].parse_failures
+    assert bm[0].parse_failures > 0
+    dirs = os.listdir(str(d / "stream-out" / "parse_failures"))
+    assert all(x.startswith("batch_id=") for x in dirs)
+    # conservation across modes
+    assert routed.count() + s_dlq.count() == N_ROWS
+
 
 def test_windowed_event_time_counts(spark, dataset):
     d, paths = dataset
