@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_pipeline",
+    "flagship_pipeline_arrow",
     "q1_pricing_summary",
     "q3_topk_revenue",
     "pipe_route_by_source_level",
@@ -55,7 +56,8 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_pipeline(spark, data_dir: str, tag: str) -> tuple[int, float]:
+def bench_pipeline(spark, data_dir: str, tag: str,
+                   codec: str = "jvm") -> tuple[int, float]:
     """Full parse→enrich→route→aggregate, fan-out write included."""
     import shutil
 
@@ -70,6 +72,7 @@ def bench_pipeline(spark, data_dir: str, tag: str) -> tuple[int, float]:
         checkpoint_path=os.path.join(out, "ckpt"),
         max_line_size=4096,
         shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        codec=codec,
     )
     t0 = time.perf_counter()
     metrics = run_pipeline(
@@ -106,8 +109,14 @@ def main() -> None:
         run_noop(qs[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
-    routed, wall = bench_pipeline(spark, data_dir, f"cpu{cpus}")
+    routed, wall = bench_pipeline(spark, data_dir, f"cpu{cpus}", codec="jvm")
     times["pipeline_e2e"] = round(wall, 3)
+    # same pipeline through the UTF-8 Arrow codec (byte-level sanitize
+    # fused into the decode) — the general-payload path
+    routed_a, wall_a = bench_pipeline(spark, data_dir, f"cpu{cpus}-arrow",
+                                      codec="arrow")
+    times["pipeline_e2e_arrow"] = round(wall_a, 3)
+    assert routed_a == routed, "codec paths must route identical rows"
 
     total = round(sum(times.values()), 3)
     print(

@@ -91,6 +91,90 @@ def encode_lines_arrow(series: pd.Series) -> pd.Series:
     return out
 
 
+def sanitize_rows_numpy(byts, offs):
+    """Byte-level corruption sanitize over a flat (values, offsets) pair —
+    the vectorized rebuild of sanitize_corrupted_content (reference
+    src/domain/file.rs:660-692), applied BEFORE utf-8 decode so the
+    semantics are byte-exact:
+
+    - NUL bytes present, or control chars (<0x20 minus tab/CR/LF) on
+      more than 10% of the row's bytes ⇒ every byte outside printable
+      ASCII + tab becomes ``?`` (create_sanitized_replacement,
+      file.rs:695-721);
+    - otherwise the bytes pass through for lossy utf-8 conversion (the
+      reference's high-binary and clean branches are both
+      ``from_utf8_lossy``, file.rs:682-692).
+
+    Returns (byts, needs_lossy): the (possibly copied+modified) flat
+    byte buffer and a bool row-mask of rows still containing non-ASCII
+    bytes (only those need per-row lossy decode; everything else is
+    pure ASCII after this pass).
+    """
+    import numpy as np  # noqa: PLC0415 - runs on executors
+
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    is_nul = byts == 0
+    is_ctl = (byts < 32) & (byts != 9) & (byts != 10) & (byts != 13)
+    is_high = byts > 127
+    # per-row counts via cumsum-at-offsets (reduceat misbehaves on
+    # zero-length rows)
+    def row_counts(mask):
+        cum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+        return cum[offs[1:]] - cum[offs[:-1]]
+
+    nul_rows = row_counts(is_nul) > 0
+    corrupted = nul_rows | (row_counts(is_ctl) * 10 > lens)
+    if corrupted.any():
+        byts = byts.copy()
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        bad = corrupted[row_of] & ~(
+            ((byts >= 32) & (byts <= 126)) | (byts == 9)
+        )
+        byts[bad] = ord("?")
+        is_high = byts > 127  # corrupted rows are pure ASCII now
+    needs_lossy = row_counts(is_high) > 0
+    return byts, needs_lossy
+
+
+def sanitize_decode_bytes(byts, offs):
+    """Full byte-level sanitize + lossy utf-8 decode of a flat buffer.
+    Returns a pyarrow StringArray.  Rows that are pure ASCII after the
+    sanitize pass take the zero-copy StringArray.from_buffers path; only
+    rows still carrying high bytes get a per-row utf-8 validation and —
+    if invalid — Python's ``errors='replace'`` decode, which implements
+    the same maximal-subpart U+FFFD substitution as Rust's
+    ``String::from_utf8_lossy``.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    byts, needs_lossy = sanitize_rows_numpy(byts, offs)
+    fixes: list[tuple[int, bytes]] = []
+    for r in np.flatnonzero(needs_lossy):
+        raw = byts[offs[r]:offs[r + 1]].tobytes()
+        try:
+            raw.decode("utf-8")
+        except UnicodeDecodeError:
+            fixes.append((int(r), raw.decode("utf-8", "replace").encode("utf-8")))
+    if fixes:
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        for r, nb in fixes:
+            lens[r] = len(nb)
+        new_offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        segs, prev = [], 0
+        for r, nb in fixes:
+            segs.append(byts[prev:offs[r]])
+            segs.append(np.frombuffer(nb, dtype=np.uint8))
+            prev = offs[r + 1]
+        segs.append(byts[prev:])
+        byts, offs = np.concatenate(segs), new_offs
+    return pa.StringArray.from_buffers(
+        len(offs) - 1,
+        pa.py_buffer(offs.astype(np.int32).tobytes()),
+        pa.py_buffer(byts.tobytes()),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark column functions
 # ---------------------------------------------------------------------------
@@ -115,12 +199,30 @@ def encode_line(col: Column) -> Column:
     return _encode_udf(col)
 
 
-def with_decoded_line(df, tokens_col: str = "tokens", out_col: str = "line"):
+def sanitize_decode_py(bs: bytes) -> str:
+    """Row-at-a-time reference implementation of the byte-level sanitize
+    + lossy decode (used for null-bearing batches and as the test
+    oracle; semantics identical to ``sanitize_decode_bytes``)."""
+    n = len(bs)
+    ctl = sum(1 for b in bs if b < 32 and b not in (9, 10, 13))
+    if 0 in bs or ctl * 10 > n:
+        bs = bytes(b if (32 <= b <= 126 or b == 9) else ord("?") for b in bs)
+    return bs.decode("utf-8", "replace")
+
+
+def with_decoded_line(df, tokens_col: str = "tokens", out_col: str = "line",
+                      sanitize: bool = False):
     """Arrow-native decode: append ``out_col`` (utf-8 string) decoded from
     ``tokens_col`` via ``mapInArrow`` — RecordBatches flow straight from
     the JVM to pyarrow buffer arithmetic with no pandas/ndarray churn.
     This is the hot-path decode (5-10× faster than the pandas-UDF
     variant); the column-level UDFs above remain for expression contexts.
+
+    ``sanitize=True`` applies the reference's byte-level corruption
+    handling (file.rs:660-721) inside the same pass: corrupted rows get
+    printable-ASCII replacement, everything else gets lossy utf-8
+    conversion (invalid sequences → U+FFFD) — the full S6 semantics
+    including the lossy branch the string-level kernel cannot express.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -141,18 +243,24 @@ def with_decoded_line(df, tokens_col: str = "tokens", out_col: str = "line"):
             if la.null_count:
                 # slow path only when nulls present (never in the pipeline)
                 sa = pa.array(
-                    [None if v is None else bytes(
-                        x - TOKEN_OFFSET for x in v).decode("utf-8", "replace")
+                    [None if v is None else (
+                        sanitize_decode_py(bytes(x - TOKEN_OFFSET for x in v))
+                        if sanitize else bytes(
+                            x - TOKEN_OFFSET for x in v
+                        ).decode("utf-8", "replace"))
                      for v in la.to_pylist()], type=pa.string())
             else:
                 vals = la.values.to_numpy(zero_copy_only=False)
                 byts = (vals - TOKEN_OFFSET).astype(np.uint8)
                 offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int32)
-                sa = pa.StringArray.from_buffers(
-                    len(la),
-                    pa.py_buffer(offs.tobytes()),
-                    pa.py_buffer(byts.tobytes()),
-                )
+                if sanitize:
+                    sa = sanitize_decode_bytes(byts, offs)
+                else:
+                    sa = pa.StringArray.from_buffers(
+                        len(la),
+                        pa.py_buffer(offs.tobytes()),
+                        pa.py_buffer(byts.tobytes()),
+                    )
             yield b.append_column(out_col, sa)
 
     return df.mapInArrow(fn, out_schema)

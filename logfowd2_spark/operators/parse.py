@@ -39,27 +39,33 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     reference's per-batch DLQ capture at pool.rs:786-791).
     """
     if cfg.codec == "arrow":
-        # true UTF-8 decode via Arrow batches (Python workers)
-        df = with_decoded_line(df, "tokens", "line")
+        # true UTF-8 decode via Arrow batches (Python workers), with the
+        # reference's BYTE-level sanitize fused into the same pass
+        # (corrupted → '?'-replacement, invalid UTF-8 → lossy U+FFFD;
+        # file.rs:660-721) — so the string-level sanitize is skipped
+        df = with_decoded_line(df, "tokens", "line", sanitize=True)
         byte_len = F.octet_length("line")
-    else:
-        # pure-JVM byte↔char decode: stays inside whole-stage codegen,
-        # no Python round-trip; chars == original bytes, so length()
-        # is the byte length
-        df = df.withColumn("line", decode_tokens_sql(F.col("tokens")))
-        byte_len = F.length("line")
+        return parse_lines(df, cfg, byte_len, sanitize=False)
+    # pure-JVM byte↔char decode: stays inside whole-stage codegen,
+    # no Python round-trip; chars == original bytes, so length()
+    # is the byte length
+    df = df.withColumn("line", decode_tokens_sql(F.col("tokens")))
+    byte_len = F.length("line")
     return parse_lines(df, cfg, byte_len)
 
 
 def parse_lines(df: DataFrame, cfg: PipelineConfig,
-                byte_len: Column | None = None) -> DataFrame:
+                byte_len: Column | None = None,
+                sanitize: bool = True) -> DataFrame:
     """Sanitize + truncate + field-extract a DataFrame that already has a
     ``line`` column (shared by the token path above and the DLQ redrive,
-    which re-parses quarantined raw lines)."""
+    which re-parses quarantined raw lines).  ``sanitize=False`` when the
+    upstream codec already sanitized at the byte level."""
     if byte_len is None:
         byte_len = F.octet_length("line")
     df = df.withColumn("line", strip_line_endings(F.col("line")))
-    df = df.withColumn("line", sanitize_content(F.col("line")))
+    if sanitize:
+        df = df.withColumn("line", sanitize_content(F.col("line")))
     df = df.withColumn(
         "line",
         truncate_line(F.col("line"), cfg.max_line_size, cfg.truncation_suffix),

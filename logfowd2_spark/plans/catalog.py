@@ -525,6 +525,131 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S6 full semantics: byte-level sanitize incl. the lossy-UTF-8 branch ---
+
+# 'p' guard: never-empty ASCII prefix (empty-string encode is degenerate)
+_SAN_PREFIX_SPARK = (
+    "concat('p', substring(regexp_replace(lower(text), '[^a-z ]', ''), 1, 16))"
+)
+_SAN_PREFIX_DUCK = (
+    "'p' || substr(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 16)"
+)
+
+_SANITIZE_UTF8_ORACLE = f"""
+WITH p AS (SELECT doc_id, {_SAN_PREFIX_DUCK} AS prefix FROM documents)
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN prefix
+         WHEN 1 THEN prefix || 'éü'
+         WHEN 2 THEN prefix || chr(65533) || 'tail'
+         ELSE prefix || '??x' END AS sanitized_line,
+       strlen(CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN prefix
+         WHEN 1 THEN prefix || 'éü'
+         WHEN 2 THEN prefix || chr(65533) || 'tail'
+         ELSE prefix || '??x' END) AS byte_len
+FROM p
+"""
+
+
+@register("pipe_sanitize_utf8", _SANITIZE_UTF8_ORACLE)
+def pipe_sanitize_utf8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S6 FULL semantics at the byte level (file.rs:660-721):
+    per doc_id%4 a token payload is built with (0) clean ASCII, (1)
+    valid multi-byte UTF-8, (2) an invalid 0xFF byte — the lossy branch:
+    from_utf8_lossy puts U+FFFD, and (3) NUL+control corruption — the
+    '?'-replacement branch.  The engine side runs the real byte-level
+    sanitize fused into the Arrow decode (codec.sanitize_decode_bytes);
+    the oracle states the reference-mandated expected text per class."""
+    from logfowd2_spark.codec import TOKEN_OFFSET, encode_line_sql, with_decoded_line
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prefix = F.expr(_SAN_PREFIX_SPARK)
+
+    def toks(byts: list[int]):
+        return F.array(*[F.lit(b + TOKEN_OFFSET) for b in byts]).cast("array<int>")
+
+    ascii_toks = encode_line_sql(prefix)
+    inject = (
+        F.when(F.col("doc_id") % 4 == 0, F.expr("CAST(array() AS ARRAY<INT>)"))
+        .when(F.col("doc_id") % 4 == 1, toks([0xC3, 0xA9, 0xC3, 0xBC]))
+        .when(F.col("doc_id") % 4 == 2,
+              toks([0xFF] + [ord(c) for c in "tail"]))
+        .otherwise(toks([0x00, 0x01, ord("x")]))
+    )
+    built = docs.select(
+        "doc_id", F.concat(ascii_toks, inject).alias("tokens")
+    )
+    decoded = with_decoded_line(built, "tokens", "sanitized_line", sanitize=True)
+    return decoded.select(
+        "doc_id", "sanitized_line",
+        F.octet_length("sanitized_line").alias("byte_len"),
+    )
+
+
+# --- flagship variant over the UTF-8 Arrow codec ----------------------------
+
+_LINE_UTF8_SPARK = _LINE_SPARK.replace(
+    "substring(text, 1, 80)",
+    "concat(substring(text, 1, 80), CASE WHEN doc_id % 3 = 0 THEN ' δüñ' ELSE ' ok' END)",
+)
+_LINE_UTF8_DUCK = _LINE_DUCK.replace(
+    "substr(text, 1, 80)",
+    "substr(text, 1, 80) || (CASE WHEN doc_id % 3 = 0 THEN ' δüñ' ELSE ' ok' END)",
+)
+
+
+def _flagship_utf8_oracle() -> str:
+    case = routes_case_sql("src", "lvl")
+    return f"""
+    WITH lines AS ({_LINE_UTF8_DUCK}),
+    parsed AS (
+      SELECT doc_id, src,
+             regexp_extract(line, ' (DEBUG|INFO|WARN|ERROR|FATAL) ', 1) AS lvl,
+             strlen(line) AS n_tok, strlen(line) AS byte_len
+      FROM lines)
+    SELECT {case} AS sink_id,
+           count(*) AS event_count,
+           CAST(SUM(n_tok) AS BIGINT) AS token_total,
+           CAST(SUM(byte_len) AS BIGINT) AS byte_total
+    FROM parsed GROUP BY 1
+    """
+
+
+@register("flagship_pipeline_arrow", _flagship_utf8_oracle())
+def flagship_pipeline_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship slice through the ARROW codec on non-ASCII payloads:
+    lines carry multi-byte UTF-8, are encoded with the real byte-level
+    Arrow encode UDF, decoded+sanitized via mapInArrow, then grokked,
+    routed and aggregated.  n_tok == byte count (byte-level codec), so
+    the DuckDB oracle uses strlen (bytes) on the raw text — the codec
+    round-trip being the identity on valid UTF-8 is the invariant."""
+    from logfowd2_spark.codec import encode_line, with_decoded_line
+    from logfowd2_spark.operators.route import route_expr
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    lines = spark.sql(_LINE_UTF8_SPARK)
+    toks = lines.select(
+        "doc_id", "src", encode_line(F.col("line")).alias("tokens")
+    )
+    decoded = with_decoded_line(toks, "tokens", "line", sanitize=True)
+    parsed = decoded.select(
+        "doc_id",
+        "src",
+        F.regexp_extract("line", r" (DEBUG|INFO|WARN|ERROR|FATAL) ", 1).alias("lvl"),
+        F.size("tokens").alias("n_tok"),
+        F.octet_length("line").alias("byte_len"),
+    )
+    routed = parsed.withColumn(
+        "sink_id", route_expr(DEFAULT_ROUTES, F.col("src"), F.col("lvl"))
+    )
+    return routed.groupBy("sink_id").agg(
+        F.count("*").alias("event_count"),
+        F.sum("n_tok").alias("token_total"),
+        F.sum("byte_len").alias("byte_total"),
+    )
+
+
 # import sibling modules for their @register side effects (kept at the
 # bottom so they can import register/_sql from this module)
 from logfowd2_spark.plans import relational, trainingdata  # noqa: E402,F401

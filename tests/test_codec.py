@@ -79,3 +79,98 @@ def test_sql_codec_ascii_roundtrip(spark):
         .collect()[0]
     )
     assert out["back"] == out["text"]
+
+
+# --- byte-level sanitize (reference file.rs:660-721 semantics) ------------
+
+def _sanitize_rows(rows: list[bytes]) -> list[str]:
+    import pyarrow as pa
+
+    from logfowd2_spark.codec import sanitize_decode_bytes
+
+    byts = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum([len(r) for r in rows]))).astype(np.int32)
+    return sanitize_decode_bytes(byts.copy(), offs).to_pylist()
+
+
+def test_sanitize_corrupted_control_chars():
+    # mirrors test_corrupted_file_handling (file.rs:1719-1760)
+    rows = [b"normal line", bytes([0x00, 0x01, 0x02, 0x03, 0x04, 0x05]),
+            b"another normal line", bytes([0xFF, 0xFE, 0xFD])]
+    out = _sanitize_rows(rows)
+    assert out[0] == "normal line"
+    assert out[1] == "??????"            # NUL branch: printable replacement
+    assert out[2] == "another normal line"
+    assert out[3] == "���"  # high-binary branch: lossy
+
+def test_sanitize_lossy_partial_utf8():
+    # mirrors test_partial_utf8_sequences (file.rs:1797-1827)
+    rows = [b"Valid text", b"\xc3", "Валидный текст".encode("utf-8")]
+    out = _sanitize_rows(rows)
+    assert out == ["Valid text", "�", "Валидный текст"]
+
+
+def test_sanitize_binary_range_lossy():
+    # mirrors test_binary_data_handling (file.rs:1762-1795): bytes
+    # 128..255 — no NULs, no control chars ⇒ lossy conversion
+    mid = bytes(range(128, 255))
+    out = _sanitize_rows([b"Text before binary", mid, b"Text after binary"])
+    assert out[0] == "Text before binary"
+    assert len(out[1]) > 0 and "�" in out[1]
+    assert out[2] == "Text after binary"
+
+
+def test_sanitize_valid_multibyte_untouched():
+    rows = ["caffé ümlaut 日本".encode("utf-8"), b"plain"]
+    assert _sanitize_rows(rows) == ["caffé ümlaut 日本", "plain"]
+
+
+def test_sanitize_mixed_invalid_inline():
+    out = _sanitize_rows([b"abc\xffdef", b"ok"])
+    assert out == ["abc�def", "ok"]
+
+
+def test_sanitize_ctl_ratio_boundary():
+    # 1 ctl in 10 bytes: 10*1 !> 10 ⇒ NOT corrupted ⇒ ctl survives lossy
+    ten = b"\x01" + b"x" * 9
+    # 2 ctl in 10 bytes: 20 > 10 ⇒ corrupted ⇒ '?' replacement
+    two = b"\x01\x01" + b"x" * 8
+    out = _sanitize_rows([ten, two])
+    assert out[0] == "\x01" + "x" * 9
+    assert out[1] == "??" + "x" * 8
+
+
+def test_sanitize_empty_and_zero_len_rows():
+    out = _sanitize_rows([b"", b"a", b""])
+    assert out == ["", "a", ""]
+
+
+def test_sanitize_matches_py_reference():
+    from logfowd2_spark.codec import sanitize_decode_py
+
+    rows = [b"normal", b"\x00mix\x01ed", b"\xc3\xa9ok", b"\xed\xa0\x80",
+            bytes(range(0, 64)), b"", b"\xf0\x9f\x92"]
+    assert _sanitize_rows(rows) == [sanitize_decode_py(r) for r in rows]
+
+
+def test_with_decoded_line_sanitize_spark(spark):
+    """End-to-end through mapInArrow: corrupted + invalid + clean rows."""
+    import pyarrow as pa
+
+    from logfowd2_spark.codec import TOKEN_OFFSET, with_decoded_line
+
+    payloads = [b"clean line", b"\x00\x01bad", b"caf\xc3\xa9", b"oops\xff!"]
+    rows = [
+        (f"d{i}", [b + TOKEN_OFFSET for b in p]) for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r["doc_id"]: r["line"]
+        for r in with_decoded_line(df, sanitize=True).collect()
+    }
+    assert got == {
+        "d0": "clean line",
+        "d1": "??bad",
+        "d2": "café",
+        "d3": "oops�!",
+    }

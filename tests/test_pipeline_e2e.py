@@ -106,6 +106,22 @@ def test_dlq_contents(spark, dataset, oracle):
     assert (dlq["retry_count"] == 0).all()
 
 
+def test_arrow_codec_e2e_equivalence(spark, dataset, oracle):
+    """The arrow codec path (mapInArrow decode + byte-level sanitize)
+    must produce row-identical output to the jvm path on the synthetic
+    corpus (whose corruption classes are ASCII, where the byte- and
+    string-level sanitize semantics provably coincide)."""
+    d, paths = dataset
+    cfg = make_cfg(d, paths, "arrowc")
+    cfg.codec = "arrow"
+    metrics = run_pipeline(spark, cfg, paths["pods"], paths["routes"])
+    assert metrics[0].conservation_ok()
+    got = normalize(read_routed(spark, cfg).toPandas())
+    jvm_cfg = make_cfg(d, paths, "main")  # reuse the main run's output
+    want = normalize(read_routed(spark, jvm_cfg).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_determinism(spark, dataset):
     d, paths = dataset
     _, _, r1 = run_and_read(spark, d, paths, "det1")
