@@ -185,8 +185,30 @@ _SHINGLES = {
     """,
 }
 
+# Shingle doc-frequency cap: trigrams appearing in more than DF_CAP
+# documents are boilerplate, not dedup evidence — and each contributes
+# O(df²) candidate pairs to the inverted-index self-join, which AQE's
+# skew-join can split across tasks but cannot shrink.  The cap bounds
+# the per-shingle quadratic at any scale; at the test SFs (max df = 7
+# at sf0.01) it provably changes nothing.
+SHINGLE_DF_CAP = 100
+
+_CAPPED_SHINGLES_TMPL = """
+sh0 AS ({shingles}),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {cap}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+       LEFT JOIN hot ON hot.shingle = sh0.shingle
+       WHERE hot.shingle IS NULL)
+"""
+
+
+def _capped_shingles(dialect: str) -> str:
+    return _CAPPED_SHINGLES_TMPL.format(shingles=_SHINGLES[dialect],
+                                        cap=SHINGLE_DF_CAP)
+
+
 _JACCARD_TMPL = """
-WITH sh AS ({shingles}),
+WITH {capped},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS intersect_n
@@ -201,64 +223,195 @@ WHERE CAST(intersect_n AS DOUBLE) / (ca.n + cb.n - intersect_n) >= 0.2
 """
 
 
-@register("ngram_jaccard_pairs", _JACCARD_TMPL.format(shingles=_SHINGLES["duck"]))
+@register("ngram_jaccard_pairs",
+          _JACCARD_TMPL.format(capped=_capped_shingles("duck")))
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram Jaccard near-dup pairs.  Scale path: the shingle
-    self-join is the classic inverted-index join — shuffle keyed on
-    shingle, hot shingles are the skew risk (AQE skew-join handles it;
-    a stopword-shingle filter would cap it further)."""
-    return _sql(spark, sf_dir, _JACCARD_TMPL.format(shingles=_SHINGLES["spark"]),
+    """Word-trigram Jaccard near-dup pairs over the DF-capped shingle
+    universe.  Scale path: inverted-index self-join keyed on shingle;
+    the DF cap bounds the quadratic candidate blowup of hot shingles
+    (AQE skew-join splits tasks, it doesn't shrink candidate counts)."""
+    return _sql(spark, sf_dir,
+                _JACCARD_TMPL.format(capped=_capped_shingles("spark")),
                 ["documents"])
 
 
-# --- MinHash + LSH ------------------------------------------------------------------------
+# --- MinHash + LSH (production shape: k=128 hashes, 32 bands × 4 rows) ------
+#
+# The hash family is md5(seed || '|' || shingle) with lexicographic min —
+# portable across Spark and DuckDB, so the full pipeline (signatures →
+# bands → candidate pairs → exact verify) is oracle-checked end to end.
+# At scale this is: one groupBy(doc_id) to build signatures (the 128
+# hashes are an array expression over the collected shingle set, not 128
+# aggregate columns), one explode(bands) + self-equi-join on band_key for
+# candidates (linear shuffle, no all-pairs), and an exact Jaccard verify
+# restricted to candidates.  With r=4, b=32 the catch probability at
+# jaccard j is 1-(1-j^4)^32: ≥0.874 at j=0.5, ≥0.9998 at j=0.7.
 
-_MINHASH_TMPL = """
-WITH sh AS ({shingles}),
-sig AS (
-  SELECT doc_id,
-         min(md5('0|' || shingle)) AS h0,
-         min(md5('1|' || shingle)) AS h1,
-         min(md5('2|' || shingle)) AS h2,
-         min(md5('3|' || shingle)) AS h3
-  FROM sh GROUP BY doc_id)
-SELECT doc_id, h0, h1, h2, h3,
-       md5(h0 || h1) AS band_a, md5(h2 || h3) AS band_b
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = 4
+LSH_VERIFY_THRESHOLD = 0.5
+
+_SIG_SPARK = f"""
+gs AS (SELECT doc_id, collect_list(shingle) AS shs FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id,
+  transform(sequence(0, {MINHASH_K - 1}), i ->
+    array_min(transform(shs, s -> md5(concat(CAST(i AS STRING), '|', s))))) AS sg
+  FROM gs),
+banded AS (SELECT doc_id,
+  transform(sequence(0, {LSH_BANDS - 1}), b ->
+    md5(concat(CAST(b AS STRING), ':',
+               concat_ws('', slice(sg, b * {LSH_ROWS} + 1, {LSH_ROWS}))))) AS bands
+  FROM sig)
+"""
+
+_SIG_DUCK = f"""
+gs AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id,
+  list_transform(range(0, {MINHASH_K}), i ->
+    list_min(list_transform(shs, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sg
+  FROM gs),
+banded AS (SELECT doc_id,
+  list_transform(range(0, {LSH_BANDS}), b ->
+    md5(CAST(b AS VARCHAR) || ':' ||
+        array_to_string(sg[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}], ''))) AS bands
+  FROM sig)
+"""
+
+
+def _sig_ctes(dialect: str) -> str:
+    sig = _SIG_SPARK if dialect == "spark" else _SIG_DUCK
+    return _capped_shingles(dialect) + ", " + sig
+
+
+_MINHASH_OUT_SPARK = f"""
+SELECT doc_id,
+       md5(concat_ws('', sg)) AS sig_fp,
+       element_at(sg, 1) AS h_first,
+       element_at(sg, {MINHASH_K}) AS h_last,
+       size(sg) AS k
 FROM sig
 """
 
-_LSH_GROUPS_TMPL = """
-WITH sig AS ({minhash})
-SELECT band_a AS band_key, count(*) AS n_docs,
-       min(doc_id) AS min_doc, max(doc_id) AS max_doc
-FROM sig GROUP BY band_a HAVING count(*) > 1
+_MINHASH_OUT_DUCK = f"""
+SELECT doc_id,
+       md5(array_to_string(sg, '')) AS sig_fp,
+       sg[1] AS h_first,
+       sg[{MINHASH_K}] AS h_last,
+       len(sg) AS k
+FROM sig
 """
 
 
-def _minhash_sql(dialect: str) -> str:
-    # `||` string concat parses identically in Spark SQL and DuckDB
-    return _MINHASH_TMPL.format(shingles=_SHINGLES[dialect])
-
-
-@register("minhash_signatures", _minhash_sql("duck"))
+@register("minhash_signatures",
+          f"WITH {_sig_ctes('duck')} {_MINHASH_OUT_DUCK}")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=4 md5-keyed permutation mins) + 2 LSH bands
-    per document.  Engine-portable because the hash family is md5-on-
-    string with lexicographic min.  At scale: one groupBy(doc_id) over
-    the exploded shingles; signature width trades recall vs cost."""
-    return _sql(spark, sf_dir, _minhash_sql("spark"), ["documents"])
+    """k=128 MinHash signatures as ONE array expression per document
+    (seeded md5 family, lexicographic min).  Output is the signature
+    fingerprint + first/last hash (the 128-wide array itself is
+    engine-checked via its fingerprint)."""
+    return _sql(spark, sf_dir,
+                f"WITH {_sig_ctes('spark')} {_MINHASH_OUT_SPARK}",
+                ["documents"])
+
+
+_BANDS_EXPLODE = {
+    "spark": "SELECT doc_id, explode(bands) AS band_key FROM banded",
+    "duck": "SELECT doc_id, unnest(bands) AS band_key FROM banded",
+}
+
+_LSH_GROUPS_OUT = """
+SELECT band_key, count(*) AS n_docs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM eb GROUP BY band_key HAVING count(*) > 1
+"""
 
 
 @register(
     "lsh_band_groups",
-    _LSH_GROUPS_TMPL.format(minhash=_minhash_sql("duck")),
+    f"WITH {_sig_ctes('duck')}, eb AS ({_BANDS_EXPLODE['duck']}) {_LSH_GROUPS_OUT}",
 )
 def lsh_band_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate buckets: documents sharing a band hash.  The band
-    groupBy is the bucket-join that replaces the quadratic pair scan."""
-    return _sql(spark, sf_dir,
-                _LSH_GROUPS_TMPL.format(minhash=_minhash_sql("spark")),
-                ["documents"])
+    """LSH candidate buckets: documents sharing any of the 32 band
+    hashes.  The band groupBy is the bucket-join that replaces the
+    quadratic pair scan."""
+    return _sql(
+        spark, sf_dir,
+        f"WITH {_sig_ctes('spark')}, eb AS ({_BANDS_EXPLODE['spark']}) {_LSH_GROUPS_OUT}",
+        ["documents"],
+    )
+
+
+_CAND_OUT = """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared_bands
+FROM eb a JOIN eb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"WITH {_sig_ctes('duck')}, eb AS ({_BANDS_EXPLODE['duck']}) {_CAND_OUT}",
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: equi-join of exploded band hashes (linear in
+    data + candidates, never all-pairs), deduped with a groupBy that
+    also reports how many bands agreed."""
+    return _sql(
+        spark, sf_dir,
+        f"WITH {_sig_ctes('spark')}, eb AS ({_BANDS_EXPLODE['spark']}) {_CAND_OUT}",
+        ["documents"],
+    )
+
+
+_VERIFY_OUT_TMPL = """
+, eb AS ({explode}),
+cp AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       FROM eb a JOIN eb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cp.a_id, cp.b_id, count(*) AS i_n
+  FROM cp
+  JOIN sh sa ON sa.doc_id = cp.a_id
+  JOIN sh sb ON sb.doc_id = cp.b_id AND sb.shingle = sa.shingle
+  GROUP BY cp.a_id, cp.b_id)
+SELECT a_id, b_id,
+       round(CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {thr}
+"""
+
+# The ORACLE for the verified dups is the BRUTE-FORCE Jaccard scan at the
+# same threshold — i.e. the gate proves LSH(candidates)+verify returns
+# exactly the ground-truth answer (recall loss would fail the hash check).
+_VERIFY_ORACLE = f"""
+WITH {_capped_shingles('duck')},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id,
+       round(CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n), 4) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
+@register("lsh_verified_dups", _VERIFY_ORACLE)
+def lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed near-dup pipeline: LSH candidates → exact Jaccard
+    verify ≥ 0.5.  Oracle = the brute-force all-pairs answer, so the
+    gate proves the bucketed path loses no recall on this corpus (with
+    r=4, b=32 the miss probability at j=0.9 is (1-0.9⁴)³² ≈ 1.5e-15)."""
+    q = (f"WITH {_sig_ctes('spark')}"
+         + _VERIFY_OUT_TMPL.format(explode=_BANDS_EXPLODE["spark"],
+                                   thr=LSH_VERIFY_THRESHOLD))
+    return _sql(spark, sf_dir, q, ["documents"])
 
 
 # --- similarity search (brute-force cosine top-k baseline) -----------------------------------
@@ -407,82 +560,157 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding-cosine near-dup pairs ------------------------------------------
 
-_COS_DUP = """
+# Near-dup ground truth is PLANTED deterministically (the raw synthetic
+# embeddings are near-random: max off-diagonal cosine ≈ 0.51 at sf0.01):
+# every vec_id % 10 == 0 vector gets a scaled copy (id + 100000,
+# e * 1.001) — cosine exactly 1.0 — so the operator has real dup
+# structure to find and a crisp threshold (0.9) with a wide margin.
+_COS_DUP_ORACLE = """
 WITH base AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-  WHERE vec_id < 200),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(e, x -> x * 1.001) AS e
+  FROM base WHERE vec_id % 10 = 0),
 s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_dot_product(a.e, b.e) /
                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
-      FROM base a JOIN base b ON a.vec_id < b.vec_id)
-SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.3
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.9
 """
 
+IVF_CENTROIDS = 16
+IVF_PROBES = 2
 
-@register("embedding_cosine_dups", _COS_DUP)
+
+@register("embedding_cosine_dups", _COS_DUP_ORACLE)
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold (the
-    exact-verification half of near-dup detection; the IVF/LSH bucket
-    join above is what bounds the pair space at scale)."""
+    """Embedding-cosine near-duplicate pairs ≥ 0.9, computed the 100 TB
+    way: IVF bucketing (multi-probe top-2 centroids) generates
+    candidates via a bucket EQUI-join, and only candidates get the exact
+    cosine verify — no all-pairs theta-join anywhere (the round-1
+    version was O(n²) and self-limited to 200 vectors).
+
+    The 16-'centroid' codebook (the first 16 base vectors, standing in
+    for a sampled k-means fit) is collected once and folded into literal
+    expressions — the Spark analogue of broadcasting a codebook — so
+    centroid assignment is a pure projection, not a join.  The ORACLE is
+    the brute-force all-pairs scan, so the correctness gate proves the
+    bucketed path loses no recall on this corpus (scaled copies share
+    their base's nearest centroid by construction).
+
+    test_plans_physical pins the plan: no CartesianProduct, no
+    BroadcastNestedLoopJoin."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.filter(F.col("vec_id") < 200).select(
-        "vec_id", as_double.alias("e")
-    ).withColumn(
+    base = emb.select("vec_id", as_double.alias("e"))
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * 1.001).alias("e"),
+    )
+    aug = base.unionByName(planted).withColumn(
         "norm",
         F.sqrt(F.aggregate(F.zip_with("e", "e", lambda a, b: a * b),
                            F.lit(0.0), lambda acc, x: acc + x)),
     )
-    a = base.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
-                    F.col("norm").alias("an"))
-    b = base.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"),
-                    F.col("norm").alias("bn"))
-    joined = a.join(b, F.col("a_id") < F.col("b_id"))
+
+    # codebook: tiny, collected once, folded into literals (≈ broadcast)
+    cents = (
+        base.filter(F.col("vec_id") < IVF_CENTROIDS)
+        .orderBy("vec_id").collect()
+    )
+
+    def lit_vec(values):
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    def cos_to_centroid(cv):
+        cn = sum(float(x) * float(x) for x in cv) ** 0.5
+        dot = F.aggregate(F.zip_with("e", lit_vec(cv), lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        return dot / (F.col("norm") * F.lit(cn))
+
+    ranked = F.array(*[
+        F.struct((-cos_to_centroid(r["e"])).alias("neg_sim"),
+                 F.lit(r["vec_id"]).alias("c"))
+        for r in cents
+    ])
+    probes = F.slice(F.array_sort(ranked), 1, IVF_PROBES)
+    assigned = aug.select(
+        "vec_id", "e", "norm",
+        F.explode(F.transform(probes, lambda s: s["c"])).alias("bucket"),
+    )
+
+    a = assigned.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ae"),
+                        F.col("norm").alias("an"), "bucket")
+    b = assigned.select(F.col("vec_id").alias("b_id"), F.col("e").alias("be"),
+                        F.col("norm").alias("bn"), "bucket")
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ae", "be", "an", "bn")
+        .dropDuplicates(["a_id", "b_id"])  # multi-probe overlap
+    )
     dot = F.aggregate(F.zip_with("ae", "be", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     return (
-        joined.select("a_id", "b_id",
-                      F.round(dot / (F.col("an") * F.col("bn")), 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.3)
+        cand.select("a_id", "b_id",
+                    F.round(dot / (F.col("an") * F.col("bn")), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.9)
     )
 
 
-# --- SimHash (Spark-only; rows-only driver check) ------------------------------
+# --- SimHash (64-bit, portable md5-nibble bit family, full oracle) -----------
+
+# Bit i (0..63) of a word's hash = bit (3 - i%4) of hex nibble i/4 of
+# md5(word).  md5 hex is identical across engines, so the whole SimHash
+# (bit contributions → per-bit sign sums → fingerprint halves) is
+# oracle-checked.  The fingerprint is emitted as two BIGINT halves
+# (hi = bits 0..31, lo = bits 32..63) to stay inside signed-64 range.
+_SIMHASH_BODY = """
+bits AS (
+  SELECT w.doc_id, i.i,
+         CASE WHEN CAST(floor(
+                (instr('0123456789abcdef',
+                       substr(md5(w.word), CAST(floor(i.i / 4) AS INT) + 1, 1)) - 1)
+                / pow(2, 3 - (i.i % 4))) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM w CROSS JOIN i),
+s AS (SELECT doc_id, i, CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS sbit
+      FROM bits GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN i < 32
+                     THEN sbit * CAST(pow(2, 31 - i) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash_hi,
+       CAST(SUM(CASE WHEN i >= 32
+                     THEN sbit * CAST(pow(2, 63 - i) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash_lo
+FROM s GROUP BY doc_id
+"""
+
+_SIMHASH = {
+    "spark": f"""
+    WITH w AS (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents),
+    i AS (SELECT explode(sequence(0, 63)) AS i),
+    {_SIMHASH_BODY}
+    """,
+    "duck": f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    i AS (SELECT unnest(range(0, 64)) AS i),
+    {_SIMHASH_BODY}
+    """,
+}
 
 
-@register("simhash_fingerprint")  # no SQL oracle: bit ops not portable
+@register("simhash_fingerprint", _SIMHASH["duck"])
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over word features: per word, xxhash64 gives the
-    bit pattern; each bit contributes +1/-1; the sign vector is the
-    fingerprint.  Pure JVM (explode + bit ops + groupBy).  Near-dups
-    differ in few bits — at scale, band the fingerprint bytes and
-    bucket-join like LSH.  (No DuckDB oracle: 64-bit hash functions are
-    engine-specific; the driver records a rows-only check.)"""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
-    hashed = words.select("doc_id", F.xxhash64("w").alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1)).alias(f"b{i}")
-            for i in range(16)  # 16 bits is enough to demonstrate; real: 64
-        ],
-    )
-    summed = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)]
-    )
-    fp = summed.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-             * F.lit(2 ** i))
-            for i in range(16)
-        ).cast("bigint").alias("simhash16"),
-    )
-    return fp.orderBy("doc_id")
+    """64-bit SimHash over word features: each word's md5-derived bit
+    pattern contributes ±1 per bit position; the per-document sign
+    vector is the fingerprint (emitted as hi/lo BIGINT halves).  Pure
+    JVM (explode + arithmetic + two hash aggregations), no global sort.
+    Near-dups differ in few bits — at scale, band the fingerprint bytes
+    and bucket-join exactly like MinHash-LSH above."""
+    return _sql(spark, sf_dir, _SIMHASH["spark"], ["documents"])
 
 
 _EMB_STATS = """

@@ -74,3 +74,35 @@ def test_route_is_case_not_join(env):
     plan = plan_of(routed)
     # exactly one join (the pod dim); routing adds none
     assert plan.count("Join") == plan.count("BroadcastHashJoin")
+
+
+def test_cosine_dups_has_no_allpairs_join(spark):
+    """embedding_cosine_dups must generate candidates via a bucket
+    EQUI-join: no CartesianProduct, no BroadcastNestedLoopJoin anywhere
+    (the round-1 version was an O(n²) theta-join)."""
+    from logfowd2_spark.plans.trainingdata import embedding_cosine_dups
+
+    q = embedding_cosine_dups(spark, "/root/testdata/sf0.001")
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan)
+
+
+def test_lsh_candidates_are_equi_join(spark):
+    """LSH candidate generation is an equi-join on band_key."""
+    from logfowd2_spark.plans.trainingdata import lsh_candidate_pairs
+
+    q = lsh_candidate_pairs(spark, "/root/testdata/sf0.001")
+    plan = plan_of(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_has_no_global_sort(spark):
+    from logfowd2_spark.plans.trainingdata import simhash_fingerprint
+
+    q = simhash_fingerprint(spark, "/root/testdata/sf0.001")
+    plan = plan_of(q)
+    assert "Sort [doc_id" not in plan  # no output total sort
