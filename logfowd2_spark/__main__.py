@@ -51,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_in": m.rows_in,
                 "rows_routed": m.rows_routed,
                 "parse_failures": m.parse_failures,
+                "failure_counts": m.failure_counts,
                 "sink_counts": m.sink_counts,
                 "conservation_ok": m.conservation_ok(),
             }))

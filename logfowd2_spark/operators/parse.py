@@ -29,6 +29,35 @@ PARSED_COLUMNS = [
     "pod_id", "container_name", "body", "parse_ok", "failure_reason",
 ]
 
+#: Failure taxonomy ≈ the reference's typed error enum (src/error.rs:28-62,
+#: classified at pool.rs:165-313: timeout/429/5xx are retryable, 4xx is
+#: permanent).  Parse failures are all data-shaped ('schema' — a retry
+#: cannot fix the bytes, the redrive exists for *transient* classes that a
+#: sink adapter quarantines, e.g. rate-limit/unavailable).  Unknown
+#: reasons (e.g. injected sink-side classes) default to 'transient'.
+FAILURE_REASONS = [
+    "empty_line", "missing_fields", "bad_timestamp", "bad_level", "bad_path",
+]
+FAILURE_CLASSES = {
+    "empty_line": "schema",
+    "missing_fields": "schema",
+    "bad_timestamp": "schema",
+    "bad_level": "schema",
+    "bad_path": "schema",
+}
+
+
+def failure_class_expr(reason: Column) -> Column:
+    """reason → class (schema | transient); plan-time literal CASE."""
+    expr = None
+    for r, c in FAILURE_CLASSES.items():
+        expr = F.when(reason == r, F.lit(c)) if expr is None else expr.when(
+            reason == r, F.lit(c))
+    return expr.otherwise(
+        F.when(reason.isNull(), F.lit(None).cast("string"))
+        .otherwise(F.lit("transient"))
+    )
+
 
 
 def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -116,11 +145,15 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
         & (F.col("namespace") != "")
         & (F.size("_parts") == 4),
     )
+    # granular reasons, first-match priority (structure before fields)
     df = df.withColumn(
         "failure_reason",
         F.when(F.col("parse_ok"), F.lit(None).cast("string"))
+        .when(F.length(F.trim(F.col("line"))) == 0, F.lit("empty_line"))
+        .when(F.size("_parts") < 4, F.lit("missing_fields"))
         .when(~ts_ok | F.col("ts").isNull(), F.lit("bad_timestamp"))
-        .otherwise(F.lit("grok_no_match")),
+        .when(~level_ok, F.lit("bad_level"))
+        .otherwise(F.lit("bad_path")),
     )
     return df.drop("_parts")
 

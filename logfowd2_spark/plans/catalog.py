@@ -357,25 +357,38 @@ def pipe_batch_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONSERVATION_CLASS = """
+CASE WHEN k IS NULL THEN 'missing_field'
+     WHEN k >= 90 THEN 'out_of_range'
+     ELSE 'ok' END
+"""
+
+
 @register(
     "pipe_conservation",
-    """
+    f"""
     WITH parsed AS (
       SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
-    SELECT (k IS NOT NULL AND k < 90) AS is_valid, count(*) AS n
-    FROM parsed GROUP BY 1
+    SELECT (k IS NOT NULL AND k < 90) AS is_valid,
+           {_CONSERVATION_CLASS} AS failure_class,
+           count(*) AS n
+    FROM parsed GROUP BY 1, 2
     """,
 )
 def pipe_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DLQ split invariant: every row lands in exactly one of
-    valid/invalid (dead_letter_queue.rs semantics as a partition)."""
+    """DLQ split invariant + typed failure classes: every row lands in
+    exactly one (valid, class) cell — the reference's error taxonomy
+    (error.rs:28-62, classified pool.rs:165-313) as a partition of the
+    input, so per-class counts sum back to the total."""
     return _sql(
         spark, sf_dir,
-        """
+        f"""
         WITH parsed AS (
           SELECT CAST(get_json_object(props, '$.k') AS INT) AS k FROM events)
-        SELECT (k IS NOT NULL AND k < 90) AS is_valid, count(*) AS n
-        FROM parsed GROUP BY 1
+        SELECT (k IS NOT NULL AND k < 90) AS is_valid,
+               {_CONSERVATION_CLASS} AS failure_class,
+               count(*) AS n
+        FROM parsed GROUP BY 1, 2
         """,
         ["events"],
     )
@@ -647,6 +660,59 @@ def flagship_pipeline_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("event_count"),
         F.sum("n_tok").alias("token_total"),
         F.sum("byte_len").alias("byte_total"),
+    )
+
+
+# --- streaming ≡ batch: the availableNow stream, oracle-gated ---------------
+
+
+@register("streaming_sink_stats", _flagship_oracle())
+def streaming_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL Structured Streaming pipeline (readStream →
+    foreachBatch(execute_unified_batch) → availableNow drain) over a
+    token table derived from ``documents``, then aggregates the per-
+    micro-batch sink_stats outputs.  The oracle is the BATCH answer
+    computed directly by DuckDB — the gate proves stream ≡ batch on a
+    fixed input (the reference's continuity contract, watcher.rs:235-453:
+    the forwarder must deliver the same events whether it tails them live
+    or reads them at startup).  Input is split into 8 files with
+    maxFilesPerTrigger=4, so ≥2 micro-batches genuinely execute."""
+    import tempfile
+
+    from logfowd2_spark.codec import encode_line_sql
+    from logfowd2_spark.config import PipelineConfig
+    from logfowd2_spark.streaming.stream import streaming_pipeline
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    lines = spark.sql(_LINE_SPARK)
+    seq = lines.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        encode_line_sql(F.col("line")).alias("tokens"),
+        F.col("src").alias("source"),
+    ).withColumn("n_tok", F.size("tokens"))
+
+    root = tempfile.mkdtemp(prefix="logfowd2-streamq-")
+    in_dir = f"{root}/in"
+    seq.select("doc_id", "tokens", "n_tok", "source").repartition(8) \
+        .write.parquet(in_dir)
+
+    cfg = PipelineConfig(
+        input_path=in_dir,
+        output_path=f"{root}/out",
+        checkpoint_path=f"{root}/ckpt",
+    )
+    pods = spark.createDataFrame(
+        [("pid-none", "node-0", "deployment", "{}")],
+        "pod_id string, node string, workload_kind string, labels_json string",
+    )
+    q = streaming_pipeline(spark, cfg, pods, available_now=True)
+    q.awaitTermination(300)
+
+    stats = spark.read.parquet(f"{cfg.output_path}/sink_stats")
+    return stats.groupBy("sink_id").agg(
+        F.sum("event_count").cast("bigint").alias("event_count"),
+        F.sum("token_total").cast("bigint").alias("token_total"),
+        F.sum("byte_total").cast("bigint").alias("byte_total"),
     )
 
 

@@ -33,6 +33,8 @@ class BatchRecord:
     parse_failures: int
     sink_counts: dict[str, int]
     partition_metrics: list[dict[str, Any]] = field(default_factory=list)
+    # per-failure-reason counts (typed error taxonomy, ≈ errors_total)
+    failure_counts: dict[str, int] = field(default_factory=dict)
 
 
 @dataclass

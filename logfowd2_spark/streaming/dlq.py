@@ -227,6 +227,22 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
     return dropped
 
 
+def dlq_reason_stats(spark: SparkSession, dlq_path: str) -> DataFrame:
+    """Per-failure-reason/class counts — the reference's typed error
+    counters (errors_total{type}, collector.rs; classes error.rs:28-62)
+    over the quarantine table."""
+    from logfowd2_spark.operators.parse import failure_class_expr  # noqa: PLC0415
+
+    df = read_dlq(spark, dlq_path)
+    return (
+        df.groupBy(
+            "failure_reason",
+            failure_class_expr(F.col("failure_reason")).alias("failure_class"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def dlq_stats(spark: SparkSession, dlq_path: str,
               cfg: PipelineConfig) -> DataFrame:
     """DLQ observability ≈ DeadLetterStats (dead_letter_queue.rs:48-55)."""

@@ -23,6 +23,7 @@ class BatchMetrics:
     rows_routed: int = 0
     sink_counts: dict[str, int] = field(default_factory=dict)
     partition_metrics: list[dict] = field(default_factory=list)
+    failure_counts: dict[str, int] = field(default_factory=dict)
 
     def conservation_ok(self) -> bool:
         """rows_in == rows_routed + parse_failures (FIXTURES.md §4)."""

@@ -154,7 +154,9 @@ def _all_sinks(cfg: PipelineConfig) -> list[str]:
 def _observe_exprs(sinks: list[str]) -> list:
     """Per-sink conditional aggregates for ``df.observe`` — the sink set
     is config-sized, so the CollectMetrics row stays tiny (3 values per
-    sink) regardless of data scale."""
+    sink + 1 per failure class) regardless of data scale."""
+    from logfowd2_spark.operators.parse import FAILURE_REASONS  # noqa: PLC0415
+
     exprs = [F.count(F.lit(1)).alias("rows_in")]
     for i, s in enumerate(sinks):
         hit = F.col("sink_id") == s
@@ -163,6 +165,17 @@ def _observe_exprs(sinks: list[str]) -> list:
             F.sum(F.when(hit, F.col("n_tok"))).alias(f"t{i}"),
             F.sum(F.when(hit, F.col("byte_len"))).alias(f"b{i}"),
         ]
+    # per-failure-reason counts (the reference's typed error counters,
+    # collector.rs errors_total{type=...} ≈ error.rs classes)
+    for j, r in enumerate(FAILURE_REASONS):
+        exprs.append(
+            F.sum(
+                F.when(
+                    (F.col("sink_id") == DLQ_SINK)
+                    & (F.col("failure_reason") == r), 1
+                ).otherwise(0)
+            ).alias(f"f{j}")
+        )
     return exprs
 
 
@@ -279,13 +292,25 @@ def execute_unified_batch(
     _write_stats_pyarrow(stats_dir, agg)
     sink_counts = {k: v["event_count"] for k, v in agg.items()}
 
+    from logfowd2_spark.operators.parse import FAILURE_REASONS  # noqa: PLC0415
+
+    n_failed = dlq_stats_row["event_count"] if dlq_stats_row else 0
+    failure_counts = {
+        r: int(vals.get(f"f{j}") or 0) for j, r in enumerate(FAILURE_REASONS)
+    }
+    failure_counts = {r: n for r, n in failure_counts.items() if n}
+    other = n_failed - sum(failure_counts.values())
+    if other:  # sink-adapter classes outside the parse taxonomy
+        failure_counts["other"] = other
+
     m = BatchMetrics(
         rows_in=int(vals.get("rows_in") or 0),
         rows_routed=sum(sink_counts.values()),
         sink_counts=sink_counts,
         partition_metrics=lineage,
+        failure_counts=failure_counts,
     )
-    m.parse_failures = dlq_stats_row["event_count"] if dlq_stats_row else 0
+    m.parse_failures = n_failed
     m.rows_parsed = m.rows_routed
     return m
 
@@ -353,6 +378,7 @@ def run_pipeline(
             parse_failures=m.parse_failures,
             sink_counts=m.sink_counts,
             partition_metrics=m.partition_metrics,
+            failure_counts=m.failure_counts,
         )
         save_manifest(man, manifest_path)  # commit point
         results.append(m)

@@ -51,6 +51,32 @@ def oracle_transform(
 
     pod_attrs = pods.set_index("pod_id")[["node", "workload_kind", "labels_json"]]
 
+    TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z$")
+    LEVELS = {"DEBUG", "INFO", "WARN", "ERROR", "FATAL"}
+    K8S_FULL = re.compile("^" + K8S + "$")
+
+    def fail_reason(line: str) -> str:
+        """Independent reimplementation of the failure taxonomy."""
+        from datetime import datetime
+
+        if not line.strip():
+            return "empty_line"
+        parts = line.split(" ", 3)
+        if len(parts) < 4:
+            return "missing_fields"
+        ts, level, path = parts[0], parts[1], parts[2]
+        if not TS_RE.match(ts):
+            return "bad_timestamp"
+        try:
+            datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        except ValueError:
+            return "bad_timestamp"
+        if level not in LEVELS:
+            return "bad_level"
+        if not K8S_FULL.match(path):
+            return "bad_path"
+        return "bad_path"  # parseable pieces but LINE_RE failed: path-ish
+
     routed_rows, dlq_rows = [], []
     for i in range(len(seq)):
         row = seq.iloc[i]
@@ -62,7 +88,7 @@ def oracle_transform(
                     "doc_id": row["doc_id"],
                     "source": row["source"],
                     "raw_line": line,
-                    "failure_reason": "grok_no_match",
+                    "failure_reason": fail_reason(line),
                 }
             )
             continue

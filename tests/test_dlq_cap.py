@@ -91,6 +91,12 @@ def test_single_pass_batch_accounting(spark, tmp_path):
 
     # observe()-based stats == footer-based lineage, row for row
     assert m.conservation_ok()
+    # typed failure taxonomy: per-reason counts sum to the DLQ total
+    assert sum(m.failure_counts.values()) == m.parse_failures
+    assert set(m.failure_counts) <= {
+        "empty_line", "missing_fields", "bad_timestamp", "bad_level",
+        "bad_path", "other",
+    }
     lineage_by_sink: dict[str, int] = {}
     for r in m.partition_metrics:
         lineage_by_sink[r["sink_id"]] = (

@@ -71,3 +71,11 @@ def test_redrive_recovers_transient_failure(spark, ran):
     stats = dlq_stats(spark, dlq_path, cfg).collect()[0]
     assert stats["in_queue"] == 0
     assert stats["permanently_failed"] == n_fail
+
+    # typed error taxonomy over the quarantine (error.rs:28-62 analogue)
+    from logfowd2_spark.streaming.dlq import dlq_reason_stats
+
+    rs = {r["failure_reason"]: (r["failure_class"], r["n"])
+          for r in dlq_reason_stats(spark, dlq_path).collect()}
+    assert sum(n for _c, n in rs.values()) == n_fail
+    assert all(c == "schema" for _r, (c, _n) in rs.items())
