@@ -29,6 +29,10 @@ HEADLINE = [
     "dedup_exact_fingerprint",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "lsh_verified_dups",
+    "embedding_cosine_dups",
+    "simhash_fingerprint",
+    "pipe_sanitize_utf8",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_last_purchase",
@@ -43,7 +47,7 @@ def ensure_pipe_data(n_rows: int) -> str:
     from logfowd2_spark import synth
 
     root = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/logfowd2_bench")
-    out = os.path.join(root, f"n{n_rows}")
+    out = os.path.join(root, f"n{n_rows}-v{synth.GEN_VERSION}")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
         synth.write_dataset(out, n_rows=n_rows, seed=42, n_files=32)

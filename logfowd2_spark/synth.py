@@ -53,6 +53,9 @@ VOCAB = np.array(
     ).split()
 )
 
+#: bump when generation rules change — versions external data caches
+GEN_VERSION = 2
+
 BASE_TS = np.datetime64("2024-03-01T00:00:00")
 HOT_NAMESPACE_FRAC = 0.40  # rows forced into ns-hot (skew)
 DIM_MISS_FRAC = 0.03       # rows whose pod_id is absent from pods
