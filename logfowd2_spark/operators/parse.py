@@ -103,30 +103,36 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
 
     # Single-pass field extraction: the grammar is space-delimited
     # (<ts> <level> <path> <body>), so one split(limit=4) replaces eight
-    # full-line regex matches (regexp_extract re-runs the whole pattern
-    # per group).  Each piece is then validated/extracted with a short
-    # anchored regex — semantically identical to matching LOG_LINE_RE
-    # (asserted against the regex-based pandas oracle in tests).
+    # full-line regex matches.  The path is validated with ONE anchored
+    # rlike and its groups taken by '/'-and-'_' splits — legal because
+    # the reference's character classes (watcher.rs:31) exclude both
+    # separators, so the splits are unambiguous exactly when the regex
+    # matches (asserted against the regex-based pandas oracle in tests).
+    # try_element_at throughout: under ANSI (Spark 4 default) a plain
+    # element_at on a short split (e.g. an empty line) would throw.
     df = df.withColumn("_parts", F.split("line", " ", 4))
-    ts_raw = F.element_at("_parts", 1)
-    level = F.element_at("_parts", 2)
-    path = F.element_at("_parts", 3)
-    body = F.element_at("_parts", 4)
+    ts_raw = F.try_element_at("_parts", F.lit(1))
+    level = F.try_element_at("_parts", F.lit(2))
+    path = F.try_element_at("_parts", F.lit(3))
+    body = F.try_element_at("_parts", F.lit(4))
 
     ts_ok = ts_raw.rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z$")
     level_ok = level.isin("DEBUG", "INFO", "WARN", "ERROR", "FATAL")
-    path_re = "^" + K8S_PATH_RE + "$"
+    path_ok = path.rlike("^" + K8S_PATH_RE + "$")
+    segs = F.split(path, "/")
+    mid = F.split(F.try_element_at(segs, F.lit(5)), "_")
 
-    def pgrp(i: int):
-        return F.regexp_extract(path, path_re, i)
+    def pseg(col):
+        # miss ⇒ '' (same contract as regexp_extract's no-match)
+        return F.when(path_ok, col).otherwise(F.lit(""))
 
     df = df.withColumns(
         {
             "level": F.when(level_ok, level).otherwise(F.lit("")),
-            "namespace": pgrp(1),
-            "pod_name": pgrp(2),
-            "pod_id": pgrp(3),
-            "container_name": pgrp(4),
+            "namespace": pseg(F.try_element_at(mid, F.lit(1))),
+            "pod_name": pseg(F.try_element_at(mid, F.lit(2))),
+            "pod_id": pseg(F.try_element_at(mid, F.lit(3))),
+            "container_name": pseg(F.try_element_at(segs, F.lit(6))),
             "body": F.coalesce(body, F.lit("")),
             # ISO-8601 with optional fractional seconds: the ANSI cast
             # accepts '...T..:..:..[.f+]Z' uniformly, so a grammar-valid

@@ -172,3 +172,25 @@ def test_truncate_threshold_is_bytes(spark):
     out = df.select(truncate_line(F.col("line"), 5).alias("t")).collect()
     # trigger fires on bytes (6 > 5); codepoint cut keeps all 3 chars
     assert out[0]["t"] == "ééé... [TRUNCATED]"
+
+
+def test_parse_handles_empty_and_short_lines(spark):
+    """Empty / under-segmented lines must quarantine gracefully (under
+    ANSI mode a plain element_at on the short split array would throw)."""
+    from logfowd2_spark.config import PipelineConfig
+    from logfowd2_spark.operators.parse import parse_lines
+
+    rows = [
+        ("e1", "app", ""),
+        ("e2", "app", "   "),
+        ("e3", "app", "2024-03-01T00:00:00Z INFO"),
+        ("e4", "app", "justoneword"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, line string")
+    out = {r["doc_id"]: r for r in parse_lines(df, PipelineConfig())
+           .select("doc_id", "parse_ok", "failure_reason").collect()}
+    assert not any(r["parse_ok"] for r in out.values())
+    assert out["e1"]["failure_reason"] == "empty_line"
+    assert out["e2"]["failure_reason"] == "empty_line"
+    assert out["e3"]["failure_reason"] == "missing_fields"
+    assert out["e4"]["failure_reason"] == "missing_fields"
