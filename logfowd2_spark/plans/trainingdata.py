@@ -781,6 +781,76 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _SIMHASH["spark"], ["documents"])
 
 
+# --- multimodal binary columns, oracle-gated --------------------------------
+
+# The fake container format (operators/multimodal.py: MAGIC + w + h +
+# seed-byte plane) is arithmetically transparent, so the whole binary
+# round-trip — build payload bytes in one mapInPandas stage, decode +
+# feature-extract them in another — can be checked against a closed-form
+# SQL oracle: n_bytes = 12 + w*h, mean_px = seed (constant plane).
+_MM_ORACLE = """
+SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(4 + doc_id % 7 AS INT) AS height,
+       CAST(12 + (4 + doc_id % 13) * (4 + doc_id % 7) AS INT) AS n_bytes,
+       CAST((doc_id * 31 + (4 + doc_id % 13) + (4 + doc_id % 7)) % 256
+            AS DOUBLE) AS mean_px,
+       TRUE AS ok
+FROM documents
+"""
+
+
+@register("multimodal_media_stats", _MM_ORACLE)
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column (multimodal) plumbing, oracle-gated end to end: a
+    mapInPandas stage BUILDS an opaque binary payload per document (the
+    deterministic fake container — real image/audio codecs are absent
+    from this environment, multimodal.py documents the stub), Arrow
+    ships the binary column to a second mapInPandas stage that decodes
+    the container and extracts features (dims, byte size, mean pixel).
+    The DuckDB oracle recomputes every feature arithmetically, so the
+    gate proves the binary Arrow transfer + decode plumbing is lossless.
+    At 100 TB the binary column dominates scan bytes — the build
+    projects only doc_id, and partitioning is bytes-based
+    (maxPartitionBytes), not row-based."""
+    import pandas as pd  # noqa: PLC0415
+
+    from logfowd2_spark.operators.multimodal import (  # noqa: PLC0415
+        MEDIA_SCHEMA, extract_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        import struct as _struct  # noqa: PLC0415 - executor side
+
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            w = (4 + ids % 13).astype("int32")
+            h = (4 + ids % 7).astype("int32")
+            payloads = [
+                b"IMG0" + _struct.pack("<II", int(wi), int(hi))
+                + bytes([int((i * 31 + wi + hi) % 256)]) * int(wi * hi)
+                for i, wi, hi in zip(ids, w, h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": "m-" + ids.astype(str),
+                    "kind": [kinds[int(i) % 3] for i in ids],
+                    "payload": payloads,
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
+    feats = extract_features(media, fake=True)
+    return feats.select("media_id", "kind", "width", "height",
+                        "n_bytes", "mean_px", "ok")
+
+
 _EMB_STATS = """
 SELECT label, count(*) AS n,
        CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
