@@ -781,6 +781,131 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _SIMHASH["spark"], ["documents"])
 
 
+# --- composed corpus-curation pipeline ---------------------------------------
+
+_CURATION = {
+    # filter (length/lang quality gates) → exact-dedup (md5, keep min
+    # doc_id) → per-(source, lang) corpus stats.  One hash shuffle for
+    # the dedup, one for the final rollup — both map-side-combined.
+    "spark": """
+    WITH f AS (
+      SELECT doc_id, text, lang, source,
+             size(split(text, ' ')) AS n_tok
+      FROM documents
+      WHERE size(split(text, ' ')) >= 8 AND n_chars <= 4000
+        AND lang IN ('en', 'de', 'fr', 'es')),
+    d AS (
+      SELECT md5(lower(text)) AS fp,
+             min(doc_id) AS keep_id,
+             min_by(struct(lang, source, n_tok), doc_id) AS r
+      FROM f GROUP BY 1)
+    SELECT r.source AS source, r.lang AS lang,
+           count(*) AS kept_docs,
+           CAST(SUM(r.n_tok) AS BIGINT) AS kept_tokens
+    FROM d GROUP BY 1, 2
+    """,
+    "duck": """
+    WITH f AS (
+      SELECT doc_id, text, lang, source,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8 AND n_chars <= 4000
+        AND lang IN ('en', 'de', 'fr', 'es')),
+    d AS (
+      SELECT md5(lower(text)) AS fp,
+             min(doc_id) AS keep_id,
+             min_by(struct_pack(lang := lang, source := source, n_tok := n_tok),
+                    doc_id) AS r
+      FROM f GROUP BY 1)
+    SELECT r.source AS source, r.lang AS lang,
+           count(*) AS kept_docs,
+           CAST(SUM(r.n_tok) AS BIGINT) AS kept_tokens
+    FROM d GROUP BY 1, 2
+    """,
+}
+
+
+@register("corpus_curation", _CURATION["duck"])
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline every training-data run needs:
+    quality/lang filter → exact dedup (canonical = min doc_id, its
+    attributes carried via min_by) → per-(source, lang) kept-corpus
+    stats.  Filters push to the scan; both aggregations get map-side
+    partial combine."""
+    return _sql(spark, sf_dir, _CURATION["spark"], ["documents"])
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+_SAMPLE = {
+    # hash-gate sampling: md5 of the doc id is uniform; keeping rows
+    # whose first two hex chars < '29' gives a fixed ~16% sample that is
+    # identical on ANY engine and ANY partitioning (no RNG, no
+    # sample()-operator nondeterminism) — the only reproducible way to
+    # sample at 100 TB.
+    "spark": """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS STRING)), 1, 2) < '29'
+    """,
+    "duck": """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    """,
+}
+
+
+@register("stratified_sample", _SAMPLE["duck"])
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gate sample (~16%): reproducible row-exact
+    across engines, partitionings, and reruns — unlike rand()/SAMPLE."""
+    return _sql(spark, sf_dir, _SAMPLE["spark"], ["documents"])
+
+
+# --- token-budget sequence packing --------------------------------------------
+
+_PACKING = {
+    # offset-based packing: per-source running token offsets assign each
+    # doc to pack floor(offset / budget).  The window partitions by
+    # source, so no global sort — each partition's window is independent
+    # (the scale-safe shape; a best-fit packer would be a per-partition
+    # applyInPandas instead).
+    "spark": """
+    WITH t AS (SELECT doc_id, source, size(split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS off
+          FROM t)
+    SELECT source, CAST(floor(off / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS docs_in_pack,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    "duck": """
+    WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS off
+          FROM t)
+    SELECT source, CAST(floor(off / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS docs_in_pack,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+    """,
+}
+
+
+@register("token_budget_packing", _PACKING["duck"])
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for a 2048-token context budget: per-source
+    running offsets bin documents into packs (offset-based greedy — the
+    deterministic, shuffle-light variant)."""
+    return _sql(spark, sf_dir, _PACKING["spark"], ["documents"])
+
+
 # --- multimodal binary columns, oracle-gated --------------------------------
 
 # The fake container format (operators/multimodal.py: MAGIC + w + h +
