@@ -44,8 +44,13 @@ TRUNCATION_SUFFIX = "... [TRUNCATED]"
 def strip_line_endings(line: Column) -> Column:
     """Strip trailing newline/CR, ≈ reference S4 (file.rs:193-199: lines
     are split on \\n then trailing \\n and \\r removed) — a token stream
-    re-encoding raw file bytes may carry them."""
-    return F.regexp_replace(line, r"[\r\n]+$", "")
+    re-encoding raw file bytes may carry them.
+
+    Guarded by a cheap suffix check: the regex (and its per-row string
+    rebuild) only runs for lines that actually end in CR/LF — almost
+    none do, so the common case is two endswith probes."""
+    dirty = line.endswith("\n") | line.endswith("\r")
+    return F.when(dirty, F.regexp_replace(line, r"[\r\n]+$", "")).otherwise(line)
 
 
 def truncate_line(line: Column, max_line_size: int,
@@ -70,11 +75,15 @@ def is_corrupted(line: Column) -> Column:
     """Corruption predicate: NUL bytes, or >10% control characters.
 
     Mirrors sanitize_corrupted_content's trigger conditions
-    (file.rs:665-680).
-    """
-    ctl_count = F.length(line) - F.length(
-        F.regexp_replace(line, CONTROL_CHAR_RE, "")
-    )
+    (file.rs:665-680).  The control-char COUNT (a regexp_replace that
+    rebuilds the string) only runs for lines where a find-only rlike
+    saw at least one control char — clean lines (the ~98% case) pay a
+    single scan, no allocation."""
+    has_ctl = line.rlike(CONTROL_CHAR_RE)
+    ctl_count = F.when(
+        has_ctl,
+        F.length(line) - F.length(F.regexp_replace(line, CONTROL_CHAR_RE, "")),
+    ).otherwise(F.lit(0))
     return line.contains("\x00") | (
         (F.length(line) > 0) & (ctl_count * 10 > F.length(line))
     )
