@@ -113,14 +113,24 @@ def sanitize_rows_numpy(byts, offs):
     import numpy as np  # noqa: PLC0415 - runs on executors
 
     lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    n_rows, n_bytes = len(lens), len(byts)
+
+    def row_counts(mask):
+        # gated: clean batches (the overwhelming case per flag) skip the
+        # per-row reduction entirely; dirty batches use reduceat (no
+        # value-length int64 cumsum allocation).  reduceat quirks —
+        # empty slices echo x[start] and start==len raises — are fixed
+        # by clipping starts and zeroing zero-length rows.
+        if n_bytes == 0 or not mask.any():
+            return np.zeros(n_rows, np.int64)
+        starts = np.minimum(offs[:-1], n_bytes - 1)
+        res = np.add.reduceat(mask.astype(np.int32), starts).astype(np.int64)
+        res[lens == 0] = 0
+        return res
+
     is_nul = byts == 0
     is_ctl = (byts < 32) & (byts != 9) & (byts != 10) & (byts != 13)
     is_high = byts > 127
-    # per-row counts via cumsum-at-offsets (reduceat misbehaves on
-    # zero-length rows)
-    def row_counts(mask):
-        cum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
-        return cum[offs[1:]] - cum[offs[:-1]]
 
     nul_rows = row_counts(is_nul) > 0
     corrupted = nul_rows | (row_counts(is_ctl) * 10 > lens)

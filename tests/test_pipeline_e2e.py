@@ -120,8 +120,10 @@ def test_arrow_codec_e2e_equivalence(spark, dataset, oracle):
     metrics = run_pipeline(spark, cfg, paths["pods"], paths["routes"])
     assert metrics[0].conservation_ok()
     got = normalize(read_routed(spark, cfg).toPandas())
-    jvm_cfg = make_cfg(d, paths, "main")  # reuse the main run's output
-    want = normalize(read_routed(spark, jvm_cfg).toPandas())
+    # jvm side: reuses the main run's output when it exists (the rerun
+    # is a manifest no-op), or produces it when running standalone
+    _, _, jvm_routed = run_and_read(spark, d, paths, "main")
+    want = normalize(jvm_routed)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
