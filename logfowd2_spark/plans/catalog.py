@@ -663,6 +663,39 @@ def flagship_pipeline_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- event-time tumbling windows (B2's event-time upgrade, batch-checkable) --
+
+_TUMBLING = {
+    "spark": """
+    SELECT date_format(window(ts, '1 minute').start, 'yyyy-MM-dd HH:mm:ss')
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY window(ts, '1 minute'), event_type
+    """,
+    "duck": """
+    SELECT strftime(time_bucket(INTERVAL 1 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY time_bucket(INTERVAL 1 MINUTE, ts), event_type
+    """,
+}
+
+
+@register("window_tumbling_counts", _TUMBLING["duck"])
+def window_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (the batch semantics of the
+    streaming windowed_level_counts path — B2 upgraded from the
+    reference's processing-time flush to event time): Spark's window()
+    vs DuckDB's time_bucket must land every event in the same bucket."""
+    return _sql(spark, sf_dir, _TUMBLING["spark"], ["events"])
+
+
 # --- streaming ≡ batch: the availableNow stream, oracle-gated ---------------
 
 

@@ -1,0 +1,106 @@
+"""Table maintenance: snapshot reads and small-file compaction.
+
+The manifest (checkpoint.py) already gives batch-granular lineage —
+these operators turn it into Iceberg-style table services on the plain
+partitioned-parquet layout (SURVEY.md §7 plan-B):
+
+- ``read_routed_as_of``: time travel — read the routed table as of a
+  committed batch (snapshot isolation comes free from batch-atomic
+  commits: uncommitted/later batch dirs are simply not selected).
+- ``compact_batch``: rewrite one batch's fan-out output into
+  target-sized files (the analogue of Iceberg's rewrite_data_files /
+  ES segment merges).  Read → coalesced rewrite into a temp dir →
+  footer-verified row-count equality → atomic directory swap, so a
+  crash mid-compaction never loses or duplicates rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.streaming.checkpoint import load_manifest
+
+
+def committed_batch_ids(cfg: PipelineConfig) -> list[str]:
+    man = load_manifest(os.path.join(cfg.checkpoint_path, "manifest.json"))
+    return list(man.batches.keys())  # insertion order == commit order
+
+
+def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
+                      batch_id: str) -> DataFrame:
+    """The routed table as of (and including) ``batch_id`` — only batch
+    dirs committed up to that point are scanned (partition pruning by
+    construction: later data is never listed, let alone read)."""
+    ids = committed_batch_ids(cfg)
+    if batch_id not in ids:
+        raise ValueError(f"batch {batch_id!r} is not committed")
+    upto = ids[: ids.index(batch_id) + 1]
+    root = os.path.join(cfg.output_path, "routed")
+    dirs = [os.path.join(root, f"batch_id={b}") for b in upto
+            if os.path.isdir(os.path.join(root, f"batch_id={b}"))]
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
+def _tree_num_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = 0
+    for r, _d, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(r, fn)).metadata.num_rows
+    return n
+
+
+def _tree_num_files(path: str) -> int:
+    return sum(
+        1 for _r, _d, files in os.walk(path)
+        for fn in files if fn.endswith(".parquet")
+    )
+
+
+def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
+                  target_records_per_file: int = 1_000_000) -> dict:
+    """Compact one committed batch dir to ~target-sized files.
+
+    One pass: read the batch subtree, REBALANCE by the partition keys
+    (AQE sizes output splits), rewrite into ``<dir>.compact``, verify
+    row counts from parquet footers, then atomically swap directories.
+    Returns {files_before, files_after, rows}.
+    """
+    batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
+    if not os.path.isdir(batch_dir):
+        raise ValueError(f"no such batch dir: {batch_dir}")
+    tmp = batch_dir + ".compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    files_before = _tree_num_files(batch_dir)
+    df = spark.read.option("basePath", batch_dir).parquet(batch_dir)
+    (
+        df.hint("rebalance", "sink_id")
+        .write.mode("overwrite")
+        .partitionBy("sink_id", "log_date")
+        .option("maxRecordsPerFile", str(target_records_per_file))
+        .parquet(tmp)
+    )
+    rows_before = _tree_num_rows(batch_dir)
+    rows_after = _tree_num_rows(tmp)
+    if rows_before != rows_after:  # never swap a lossy rewrite
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}"
+        )
+    old = batch_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(batch_dir, old)
+    os.replace(tmp, batch_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": _tree_num_files(batch_dir),
+        "rows": rows_after,
+    }

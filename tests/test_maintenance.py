@@ -1,0 +1,62 @@
+"""Table-maintenance tests: manifest-driven time travel and atomic
+small-file compaction over the routed output."""
+
+import os
+
+import pytest
+
+from logfowd2_spark import synth
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.streaming.maintenance import (
+    compact_batch,
+    committed_batch_ids,
+    read_routed_as_of,
+)
+from logfowd2_spark.streaming.pipeline import read_routed, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def ran(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("maint")
+    paths = synth.write_dataset(str(d / "in"), n_rows=1200, seed=21, n_files=4)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        max_line_size=256,
+        bulk_size=50,  # tiny maxRecordsPerFile → many small files
+    )
+    metrics = run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                           files_per_batch=2)
+    return cfg, metrics
+
+
+def test_time_travel_reads_only_committed_prefix(spark, ran):
+    cfg, metrics = ran
+    ids = committed_batch_ids(cfg)
+    assert len(ids) == 2
+    first = read_routed_as_of(spark, cfg, ids[0])
+    assert first.count() == metrics[0].rows_routed
+    both = read_routed_as_of(spark, cfg, ids[1])
+    assert both.count() == sum(m.rows_routed for m in metrics)
+    with pytest.raises(ValueError):
+        read_routed_as_of(spark, cfg, "batch-nope")
+
+
+def test_compaction_preserves_rows_and_shrinks_files(spark, ran):
+    cfg, metrics = ran
+    ids = committed_batch_ids(cfg)
+    before = (
+        read_routed_as_of(spark, cfg, ids[0])
+        .orderBy("doc_id").select("doc_id", "sink_id", "n_tok").toPandas()
+    )
+    stats = compact_batch(spark, cfg, ids[0], target_records_per_file=100_000)
+    assert stats["rows"] == metrics[0].rows_routed
+    assert stats["files_after"] < stats["files_before"]
+    after = (
+        read_routed_as_of(spark, cfg, ids[0])
+        .orderBy("doc_id").select("doc_id", "sink_id", "n_tok").toPandas()
+    )
+    assert before.values.tolist() == after.values.tolist()
+    # table total unchanged
+    assert read_routed(spark, cfg).count() == sum(m.rows_routed for m in metrics)
