@@ -63,6 +63,44 @@ def _tree_num_files(path: str) -> int:
     )
 
 
+def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
+                       batch_id: str, out_dir: str) -> int:
+    """Export one committed batch as Elasticsearch ``_bulk``-shaped
+    NDJSON — the reference's actual wire format (make_body,
+    pool.rs:821-849): per event an action line (deterministic ``_id``,
+    daily index name ≈ pool.rs:856-865) followed by the document line
+    (ISO-8601 ``@timestamp``, message fields).  Written with Spark's
+    text sink partitioned by sink, one pass, no driver collect.
+
+    Returns the number of events exported (2 NDJSON lines per event).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
+    df = spark.read.option("basePath", batch_dir).parquet(batch_dir)
+    action = F.concat(
+        F.lit('{"index":{"_index":"'),
+        F.col("sink_id"), F.lit("-"),
+        F.date_format("ts", "yyyy.MM.dd"),
+        F.lit('","_id":"'), F.md5(F.col("doc_id")), F.lit('"}}'),
+    )
+    doc = F.to_json(F.struct(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("@timestamp"),
+        F.col("doc_id"), F.col("source"), F.col("level"),
+        F.col("namespace"), F.col("pod_name"), F.col("container_name"),
+        F.col("n_tok"), F.col("byte_len"),
+    ))
+    lines = df.select(
+        "sink_id",
+        F.concat(action, F.lit("\n"), doc).alias("value"),
+    )
+    (
+        lines.hint("rebalance", "sink_id")
+        .write.mode("overwrite").partitionBy("sink_id").text(out_dir)
+    )
+    return _tree_num_rows(batch_dir)  # events exported == batch rows
+
+
 def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
                   target_records_per_file: int = 1_000_000) -> dict:
     """Compact one committed batch dir to ~target-sized files.

@@ -194,3 +194,84 @@ def test_parse_handles_empty_and_short_lines(spark):
     assert out["e2"]["failure_reason"] == "empty_line"
     assert out["e3"]["failure_reason"] == "missing_fields"
     assert out["e4"]["failure_reason"] == "missing_fields"
+
+
+def test_parse_taxonomy_matches_oracle_on_random_lines(spark):
+    """Differential test: 300 seeded random lines (valid grammar,
+    mutated grammar, and raw noise) must get the same parse_ok AND the
+    same failure_reason from the engine and from the independent
+    oracle reimplementation (tests.oracle)."""
+    import random
+
+    from logfowd2_spark.config import PipelineConfig
+    from logfowd2_spark.operators.parse import parse_lines
+    from tests.oracle import LINE_RE  # noqa: F401 (grammar sanity)
+    import tests.oracle as om
+
+    rng = random.Random(1234)
+    levels = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL", "TRACE", "info"]
+    noise_alphabet = "abc XYZ:/._-09\x01\x00é"
+
+    def rand_line(i: int) -> str:
+        kind = i % 6
+        ts = f"2024-03-0{1 + i % 9}T0{i % 10}:0{i % 6}:1{i % 9}Z"
+        path = f"/var/log/pods/ns-{i % 5}_pod-{i % 7}_pid-{i % 11}/main/0.log"
+        lvl = levels[i % len(levels)]
+        if kind == 0:
+            return f"{ts} {lvl} {path} body {i}"
+        if kind == 1:  # drop a random field
+            parts = [ts, lvl, path, f"body {i}"]
+            del parts[rng.randrange(4)]
+            return " ".join(parts)
+        if kind == 2:  # mangle the ts
+            return f"{ts[:-1]} {lvl} {path} body"
+        if kind == 3:  # mangle the path
+            return f"{ts} {lvl} {path.replace('pods', 'POD')} body"
+        if kind == 4:  # raw noise
+            return "".join(rng.choice(noise_alphabet) for _ in range(rng.randrange(0, 40)))
+        return f"{ts} {lvl} {path} " + "x" * rng.randrange(0, 300)
+
+    lines = [(f"r{i:04d}", "app", rand_line(i)) for i in range(300)]
+    cfg = PipelineConfig(max_line_size=128)
+    got = {
+        r["doc_id"]: (r["parse_ok"], r["failure_reason"])
+        for r in parse_lines(
+            spark.createDataFrame(lines, "doc_id string, source string, line string"),
+            cfg,
+        ).select("doc_id", "parse_ok", "failure_reason").collect()
+    }
+
+    # independent oracle: sanitize/truncate then match/classify
+    import re
+
+    def oracle_one(s: str):
+        n_ctrl = len(om.CTRL.findall(s))
+        if "\x00" in s or (len(s) > 0 and n_ctrl * 10 > len(s)):
+            s = om.NONPRINT.sub("?", s)
+        if len(s.encode("utf-8")) > 128:
+            s = s[:128] + "... [TRUNCATED]"
+        m = om.LINE_RE.match(s)
+        if m:
+            return (True, None)
+        # reuse the taxonomy reimplementation embedded in oracle_transform
+        if not s.strip():
+            return (False, "empty_line")
+        parts = s.split(" ", 3)
+        if len(parts) < 4:
+            return (False, "missing_fields")
+        from datetime import datetime
+
+        ts, lvl, path = parts[0], parts[1], parts[2]
+        if not re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?Z$", ts):
+            return (False, "bad_timestamp")
+        try:
+            datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        except ValueError:
+            return (False, "bad_timestamp")
+        if lvl not in {"DEBUG", "INFO", "WARN", "ERROR", "FATAL"}:
+            return (False, "bad_level")
+        return (False, "bad_path")
+
+    for doc_id, _src, line in lines:
+        want = oracle_one(line)
+        assert got[doc_id] == want, f"{doc_id}: {got[doc_id]} != {want} for {line!r}"

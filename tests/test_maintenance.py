@@ -60,3 +60,34 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, ran):
     assert before.values.tolist() == after.values.tolist()
     # table total unchanged
     assert read_routed(spark, cfg).count() == sum(m.rows_routed for m in metrics)
+
+
+def test_ndjson_bulk_export(spark, ran, tmp_path):
+    """ES _bulk-shaped NDJSON export: 2 lines per event, action line
+    carries the daily index + deterministic _id, doc line parses as
+    JSON with the @timestamp field (reference make_body semantics)."""
+    import json
+
+    from logfowd2_spark.streaming.maintenance import export_ndjson_bulk
+
+    cfg, metrics = ran
+    ids = committed_batch_ids(cfg)
+    out = str(tmp_path / "bulk")
+    n = export_ndjson_bulk(spark, cfg, ids[0], out)
+    assert n == metrics[0].rows_routed
+
+    got = spark.read.text(out)
+    # 2 physical NDJSON lines per event (action + document)
+    rows = [r["value"] for r in got.collect()]
+    assert len(rows) == 2 * n
+    actions = [r for r in rows if r.startswith('{"index"')]
+    docs = [r for r in rows if not r.startswith('{"index"')]
+    assert len(actions) == n and len(docs) == n
+    action, doc = json.loads(actions[0]), json.loads(docs[0])
+    assert "_id" in action["index"] and "-" in action["index"]["_index"]
+    assert "@timestamp" in doc and "doc_id" in doc
+    # every sink dir present
+    import os as _os
+
+    sinks = {d.split("=", 1)[1] for d in _os.listdir(out) if d.startswith("sink_id=")}
+    assert sinks == set(metrics[0].sink_counts)
