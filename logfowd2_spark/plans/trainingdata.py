@@ -770,15 +770,50 @@ _SIMHASH = {
 }
 
 
+# Engine-side formulation: hash each DISTINCT word once (the word-bit
+# table is vocabulary-sized — broadcastable at any corpus scale), then
+# join per-(doc, word) counts against it: sum(cnt × ±1) ≡ summing each
+# occurrence, so results are identical to the oracle's per-occurrence
+# form while the md5/nibble arithmetic runs |vocab|×64 times instead of
+# |corpus words|×64.
+_SIMHASH_ENGINE = """
+WITH w AS (SELECT doc_id, word, count(*) AS cnt
+           FROM (SELECT doc_id, explode(split(text, ' ')) AS word
+                 FROM documents)
+           GROUP BY doc_id, word),
+dw AS (SELECT DISTINCT word FROM w),
+wb AS (
+  SELECT word, i.i AS i,
+         CASE WHEN CAST(floor(
+                (instr('0123456789abcdef',
+                       substr(md5(word), CAST(floor(i.i / 4) AS INT) + 1, 1)) - 1)
+                / pow(2, 3 - (i.i % 4))) AS INT) % 2 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM dw CROSS JOIN (SELECT explode(sequence(0, 63)) AS i) i),
+s AS (SELECT doc_id, i, CASE WHEN SUM(cnt * v) > 0 THEN 1 ELSE 0 END AS sbit
+      FROM w JOIN wb USING (word) GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN i < 32
+                     THEN sbit * CAST(pow(2, 31 - i) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash_hi,
+       CAST(SUM(CASE WHEN i >= 32
+                     THEN sbit * CAST(pow(2, 63 - i) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash_lo
+FROM s GROUP BY doc_id
+"""
+
+
 @register("simhash_fingerprint", _SIMHASH["duck"])
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over word features: each word's md5-derived bit
-    pattern contributes ±1 per bit position; the per-document sign
-    vector is the fingerprint (emitted as hi/lo BIGINT halves).  Pure
-    JVM (explode + arithmetic + two hash aggregations), no global sort.
-    Near-dups differ in few bits — at scale, band the fingerprint bytes
-    and bucket-join exactly like MinHash-LSH above."""
-    return _sql(spark, sf_dir, _SIMHASH["spark"], ["documents"])
+    pattern contributes ±1 per bit position, weighted by occurrence
+    count; the per-document sign vector is the fingerprint (hi/lo
+    BIGINT halves).  Pure JVM, no global sort; the word→bits table is
+    computed once over the DISTINCT vocabulary and joined (broadcast at
+    real scale) against per-doc word counts.  Near-dups differ in few
+    bits — at scale, band the fingerprint bytes and bucket-join exactly
+    like MinHash-LSH above."""
+    return _sql(spark, sf_dir, _SIMHASH_ENGINE, ["documents"])
 
 
 # --- composed corpus-curation pipeline ---------------------------------------
