@@ -106,3 +106,15 @@ def test_simhash_has_no_global_sort(spark):
     q = simhash_fingerprint(spark, "/root/testdata/sf0.001")
     plan = plan_of(q)
     assert "Sort [doc_id" not in plan  # no output total sort
+
+
+def test_fanout_write_is_rebalanced(env):
+    """The fan-out write input must carry the AQE REBALANCE(sink_id)
+    node — runtime salting of hot sinks / coalescing of cold ones."""
+    from logfowd2_spark.operators.route import repartition_for_write
+
+    df, pods, cfg = env
+    routed, _ = transform_batch(df, pods, cfg)
+    plan = repartition_for_write(routed, cfg)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "RebalancePartitions" in plan or "rebalance" in plan.lower()
