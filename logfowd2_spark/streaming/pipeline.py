@@ -312,6 +312,13 @@ def execute_unified_batch(
     )
     m.parse_failures = n_failed
     m.rows_parsed = m.rows_routed
+
+    # bound the quarantine after EVERY batch — batch and streaming mode
+    # alike (reference dead_letter_queue.rs:84-94 caps on every push)
+    from logfowd2_spark.streaming.dlq import enforce_dlq_cap  # noqa: PLC0415
+
+    enforce_dlq_cap(df.sparkSession,
+                    os.path.join(cfg.output_path, "parse_failures"), cfg)
     return m
 
 
@@ -324,11 +331,7 @@ def run_batch(
 ) -> BatchMetrics:
     """Execute one micro-batch end-to-end and return its metrics."""
     df = spark.read.parquet(*files)
-    m = execute_unified_batch(df, pods, cfg, batch_id)
-    from logfowd2_spark.streaming.dlq import enforce_dlq_cap  # noqa: PLC0415
-
-    enforce_dlq_cap(spark, os.path.join(cfg.output_path, "parse_failures"), cfg)
-    return m
+    return execute_unified_batch(df, pods, cfg, batch_id)
 
 
 def run_pipeline(
