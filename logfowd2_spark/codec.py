@@ -119,12 +119,14 @@ def sanitize_rows_numpy(byts, offs):
         # gated: clean batches (the overwhelming case per flag) skip the
         # per-row reduction entirely; dirty batches use reduceat (no
         # value-length int64 cumsum allocation).  reduceat quirks —
-        # empty slices echo x[start] and start==len raises — are fixed
-        # by clipping starts and zeroing zero-length rows.
+        # empty slices echo x[start] and start==len raises — are handled
+        # by padding ONE trailing False (so starts up to n_bytes are
+        # valid and the final row's last byte is never clipped away) and
+        # zeroing zero-length rows (which only ever echo).
         if n_bytes == 0 or not mask.any():
             return np.zeros(n_rows, np.int64)
-        starts = np.minimum(offs[:-1], n_bytes - 1)
-        res = np.add.reduceat(mask.astype(np.int32), starts).astype(np.int64)
+        padded = np.append(mask, False).astype(np.int32)
+        res = np.add.reduceat(padded, offs[:-1]).astype(np.int64)
         res[lens == 0] = 0
         return res
 
@@ -295,12 +297,25 @@ def decode_tokens_sql(col: Column) -> Column:
     Only correct for ASCII payloads (codepoint-, not byte-based); used
     where the payload is known ASCII and we want zero Python in the
     plan.  The mapInArrow variant is the general path.
+
+    Out-of-range tokens (outside [OFFSET, OFFSET+255]) clamp to the
+    NUL-char table entry instead of throwing (ANSI element_at raises on
+    a bad index): the decoded row then carries NUL bytes, trips the
+    sanitize corruption branch, fails grok, and lands in the DLQ — one
+    malformed row must never abort the batch.
     """
     table = _char_table()
-    return F.array_join(
-        F.transform(col, lambda t: F.element_at(table, t - F.lit(TOKEN_OFFSET - 1))),
-        "",
-    )
+
+    def lookup(t):
+        # out-of-range tokens map to index 1 (NUL) so the row is
+        # visibly corrupt rather than plausibly wrong
+        oob = (t < F.lit(TOKEN_OFFSET)) | (t > F.lit(TOKEN_OFFSET + 255))
+        return F.element_at(
+            table,
+            F.when(oob, F.lit(1)).otherwise(t - F.lit(TOKEN_OFFSET - 1)),
+        )
+
+    return F.array_join(F.transform(col, lookup), "")
 
 
 def encode_line_sql(col: Column) -> Column:

@@ -155,7 +155,10 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
     df = df.withColumn(
         "failure_reason",
         F.when(F.col("parse_ok"), F.lit(None).cast("string"))
-        .when(F.length(F.trim(F.col("line"))) == 0, F.lit("empty_line"))
+        # \s (not trim): trim strips spaces only, but a tab-only line is
+        # whitespace-empty too (matches the oracle's str.strip contract)
+        .when(F.length(F.regexp_replace(F.col("line"), r"\s", "")) == 0,
+              F.lit("empty_line"))
         .when(F.size("_parts") < 4, F.lit("missing_fields"))
         .when(~ts_ok | F.col("ts").isNull(), F.lit("bad_timestamp"))
         .when(~level_ok, F.lit("bad_level"))

@@ -294,19 +294,31 @@ def _sig_ctes(dialect: str) -> str:
     return _capped_shingles(dialect) + ", " + sig
 
 
-#: memoized materializations, keyed by (session, sf_dir).  localCheckpoint
-#: (not persist) so the stored data is lineage-free — replacing the
+#: memoized materializations, keyed by (applicationId, sf_dir) —
+#: applicationId is unique per SparkContext, unlike id(spark) whose
+#: address can be recycled onto a dead session.  localCheckpoint (not
+#: persist) so the stored data is lineage-free — replacing the
 #: `documents` temp view (which every _sql call does) silently uncaches
 #: plan-keyed persist() entries but cannot touch a checkpointed RDD.
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    app = spark.sparkContext.applicationId
+    # entries from other (dead) sessions can never be reused — drop them
+    # so checkpointed RDDs don't pin storage across session restarts
+    for cache in (_SHINGLE_CACHE, _SIG_CACHE):
+        for k in [k for k in cache if k[0] != app]:
+            del cache[k]
+    return (app, sf_dir)
 
 
 def _materialized_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DF-capped (doc_id, shingle) table, computed once per
     session×sf (the comprehension that builds trigrams is an interpreted
     higher-order function — don't re-run it per downstream query)."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _SHINGLE_CACHE:
         # small-SF inputs are a single parquet file = ONE scan partition;
         # without this repartition the whole shingle+hash chain runs on
@@ -331,7 +343,7 @@ def _materialized_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway — the signature table (docs × 2 KB, ~10⁻³ of the corpus) is a
     first-class intermediate you write once, and every dedup pass joins
     against it instead of re-hashing the corpus."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _SIG_CACHE:
         sh = _materialized_shingles(spark, sf_dir)
         sh.createOrReplaceTempView("sh_materialized")

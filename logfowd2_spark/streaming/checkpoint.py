@@ -47,10 +47,21 @@ class Manifest:
         return batch_id in self.batches
 
 
+def _record_dict(rec: BatchRecord) -> dict:
+    d = asdict(rec)
+    # back-compat: default-valued OPTIONAL fields are omitted from the
+    # canonical form, so manifests written before a field existed still
+    # checksum-verify after an upgrade (otherwise load_manifest would
+    # silently discard all committed history and re-run every batch)
+    if not d.get("failure_counts"):
+        d.pop("failure_counts", None)
+    return d
+
+
 def _canonical_json(man: Manifest) -> str:
     body = {
         "version": man.version,
-        "batches": {k: asdict(v) for k, v in sorted(man.batches.items())},
+        "batches": {k: _record_dict(v) for k, v in sorted(man.batches.items())},
     }
     # deterministically sorted, like the reference's checksum input
     # (state.rs:259-285)

@@ -108,6 +108,11 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     (no restore join — the round-1 doc_id equi-join could fan out rows
     quarantined twice), and all counts come from ``df.observe`` on the
     writes.
+
+    Delivery contract: at-least-once per generation, like the reference
+    (a crash between the new-generation write and the old-dir removal
+    re-presents rows on the next pass; re-running the SAME generation
+    number is idempotent — both writes are per-generation overwrites).
     """
     from logfowd2_spark.operators.enrich import enrich_stage  # noqa: PLC0415
     from logfowd2_spark.operators.parse import parse_lines  # noqa: PLC0415
@@ -186,17 +191,10 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
     generation is trimmed with a small Spark job over just that dir.
     Returns the number of rows dropped.
     """
-    import pyarrow.parquet as pq
+    from logfowd2_spark.ioutil import tree_num_rows  # noqa: PLC0415
 
     dirs = _dlq_batch_dirs(dlq_path)
-    counts = []
-    for d in dirs:
-        n = 0
-        for root, _s, files in os.walk(d):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    n += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-        counts.append((d, n))
+    counts = [(d, tree_num_rows(d)) for d in dirs]
     total = sum(n for _d, n in counts)
     overflow = total - cfg.dlq_max_size
     if overflow <= 0:
@@ -218,7 +216,11 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
             .orderBy(F.col("doc_id").desc())
             .limit(n - overflow)
         )
-        tmp = d + ".trim"
+        # underscore-prefixed temp dir: invisible to both _dlq_batch_dirs
+        # (no 'batch_id=' prefix) and Spark's file listing (hidden), so a
+        # crash mid-trim can never double-count the generation
+        tmp = os.path.join(dlq_path, "_trim_" + os.path.basename(d))
+        shutil.rmtree(tmp, ignore_errors=True)
         keep.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(d, ignore_errors=True)
         os.replace(tmp, d)

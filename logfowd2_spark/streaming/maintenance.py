@@ -45,22 +45,33 @@ def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
     return spark.read.option("basePath", root).parquet(*dirs)
 
 
-def _tree_num_rows(path: str) -> int:
-    import pyarrow.parquet as pq
-
-    n = 0
-    for r, _d, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                n += pq.ParquetFile(os.path.join(r, fn)).metadata.num_rows
-    return n
+from logfowd2_spark.ioutil import tree_num_files as _tree_num_files  # noqa: E402
+from logfowd2_spark.ioutil import tree_num_rows as _tree_num_rows  # noqa: E402
 
 
-def _tree_num_files(path: str) -> int:
-    return sum(
-        1 for _r, _d, files in os.walk(path)
-        for fn in files if fn.endswith(".parquet")
-    )
+def recover_compactions(cfg: PipelineConfig) -> list[str]:
+    """Heal interrupted compactions: a crash between the two directory
+    renames in ``compact_batch`` leaves ``<dir>.old`` (the original
+    data) without a live ``<dir>``.  Restore the original — data is
+    never deleted until the swapped-in directory exists.  Returns the
+    batch dirs restored."""
+    root = os.path.join(cfg.output_path, "routed")
+    restored = []
+    if not os.path.isdir(root):
+        return restored
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".old"):
+            continue
+        live = os.path.join(root, name[: -len(".old")])
+        old = os.path.join(root, name)
+        if not os.path.isdir(live):
+            os.replace(old, live)
+            restored.append(live)
+        else:
+            shutil.rmtree(old, ignore_errors=True)  # completed swap leftovers
+        # a stale .compact twin is always safe to drop (not yet live)
+        shutil.rmtree(live + ".compact", ignore_errors=True)
+    return restored
 
 
 def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
@@ -107,9 +118,14 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
 
     One pass: read the batch subtree, REBALANCE by the partition keys
     (AQE sizes output splits), rewrite into ``<dir>.compact``, verify
-    row counts from parquet footers, then atomically swap directories.
+    row counts from parquet footers, then swap directories.  The swap is
+    two renames, not atomic: a crash in between leaves ``<dir>.old``
+    holding the ORIGINAL data and no live dir — ``recover_compactions``
+    (run here on entry, and safe to run at startup) restores it, so
+    rows are never lost, only a compaction retried.
     Returns {files_before, files_after, rows}.
     """
+    recover_compactions(cfg)
     batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
     if not os.path.isdir(batch_dir):
         raise ValueError(f"no such batch dir: {batch_dir}")

@@ -246,11 +246,23 @@ def _move_dlq_partition(out_dir: str, dlq_batch_dir: str) -> None:
     shutil.rmtree(dlq_src, ignore_errors=True)
 
 
+def _parquet_num_rows(files: list[str]) -> int:
+    """Row count from parquet footers — driver-side, no Spark job.  An
+    INDEPENDENT input-side count: the observe() totals are computed on
+    the post-transform rows, so they alone cannot detect a transform
+    that fans out or drops rows (e.g. a duplicate key in the pods
+    dimension); the conservation check compares against this number."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def execute_unified_batch(
     df: DataFrame,
     pods: DataFrame,
     cfg: PipelineConfig,
     batch_tag: str,
+    rows_in_true: int | None = None,
 ) -> BatchMetrics:
     """ONE Spark job per batch: transform → observe → fan-out write.
 
@@ -303,8 +315,12 @@ def execute_unified_batch(
     if other:  # sink-adapter classes outside the parse taxonomy
         failure_counts["other"] = other
 
+    rows_seen = int(vals.get("rows_in") or 0)
     m = BatchMetrics(
-        rows_in=int(vals.get("rows_in") or 0),
+        # prefer the independent input-side count (parquet footers) so
+        # conservation_ok detects transform fan-out/loss; the streaming
+        # path has no footers and falls back to the observed total
+        rows_in=rows_seen if rows_in_true is None else rows_in_true,
         rows_routed=sum(sink_counts.values()),
         sink_counts=sink_counts,
         partition_metrics=lineage,
@@ -331,7 +347,8 @@ def run_batch(
 ) -> BatchMetrics:
     """Execute one micro-batch end-to-end and return its metrics."""
     df = spark.read.parquet(*files)
-    return execute_unified_batch(df, pods, cfg, batch_id)
+    return execute_unified_batch(df, pods, cfg, batch_id,
+                                 rows_in_true=_parquet_num_rows(files))
 
 
 def run_pipeline(

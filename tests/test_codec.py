@@ -174,3 +174,34 @@ def test_with_decoded_line_sanitize_spark(spark):
         "d2": "café",
         "d3": "oops�!",
     }
+
+
+def test_sanitize_trailing_empty_rows_tail_byte():
+    """Regression: a batch ending in empty row(s) must not drop the last
+    non-empty row's final byte from the corruption counts (the reduceat
+    start-clipping bug silently passed invalid UTF-8 through)."""
+    from logfowd2_spark.codec import sanitize_decode_py
+
+    cases = [
+        [b"abc\x00", b""],
+        [b"ab\xff", b""],
+        [b"x", b"", b""],
+        [b"", b"ab\x01\x01", b""],
+        [b"ok", b"\x00", b""],
+    ]
+    for rows in cases:
+        assert _sanitize_rows(rows) == [sanitize_decode_py(r) for r in rows], rows
+
+
+def test_sql_decode_out_of_range_tokens_degrade(spark):
+    """Malformed token values must decode to NUL chars (-> corrupt ->
+    DLQ), never abort the batch (ANSI element_at would throw)."""
+    from logfowd2_spark.codec import decode_tokens_sql
+
+    df = spark.createDataFrame(
+        [([999, 1065, 5000, -3],)], "tokens array<int>"
+    )
+    from pyspark.sql import functions as F
+
+    out = df.select(decode_tokens_sql(F.col("tokens")).alias("line")).collect()
+    assert out[0]["line"] == "\x00A\x00\x00"

@@ -183,6 +183,7 @@ def test_parse_handles_empty_and_short_lines(spark):
     rows = [
         ("e1", "app", ""),
         ("e2", "app", "   "),
+        ("e2t", "app", "\t \t"),
         ("e3", "app", "2024-03-01T00:00:00Z INFO"),
         ("e4", "app", "justoneword"),
     ]
@@ -192,6 +193,7 @@ def test_parse_handles_empty_and_short_lines(spark):
     assert not any(r["parse_ok"] for r in out.values())
     assert out["e1"]["failure_reason"] == "empty_line"
     assert out["e2"]["failure_reason"] == "empty_line"
+    assert out["e2t"]["failure_reason"] == "empty_line"  # tab-only = empty
     assert out["e3"]["failure_reason"] == "missing_fields"
     assert out["e4"]["failure_reason"] == "missing_fields"
 
@@ -210,7 +212,7 @@ def test_parse_taxonomy_matches_oracle_on_random_lines(spark):
 
     rng = random.Random(1234)
     levels = ["DEBUG", "INFO", "WARN", "ERROR", "FATAL", "TRACE", "info"]
-    noise_alphabet = "abc XYZ:/._-09\x01\x00é"
+    noise_alphabet = "abc\tXYZ:/._-09\x01\x00é"
 
     def rand_line(i: int) -> str:
         kind = i % 6

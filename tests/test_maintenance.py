@@ -91,3 +91,22 @@ def test_ndjson_bulk_export(spark, ran, tmp_path):
 
     sinks = {d.split("=", 1)[1] for d in _os.listdir(out) if d.startswith("sink_id=")}
     assert sinks == set(metrics[0].sink_counts)
+
+
+def test_recover_interrupted_compaction(spark, ran):
+    """Crash window between compact_batch's two renames: the .old dir
+    holds the original data with no live dir — recovery must restore it
+    (rows are never lost)."""
+    import shutil
+
+    from logfowd2_spark.streaming.maintenance import recover_compactions
+
+    cfg, metrics = ran
+    ids = committed_batch_ids(cfg)
+    batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={ids[1]}")
+    # simulate the crash: data moved aside, swap never completed
+    os.replace(batch_dir, batch_dir + ".old")
+    assert not os.path.isdir(batch_dir)
+    restored = recover_compactions(cfg)
+    assert restored == [batch_dir]
+    assert read_routed(spark, cfg).count() == sum(m.rows_routed for m in metrics)
