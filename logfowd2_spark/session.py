@@ -44,7 +44,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow IPC batch size for pandas/mapInArrow UDFs: bigger batches
+        # amortize the per-batch Python round-trip in the decode kernel
+        # (which is pure buffer arithmetic, so batch memory is the only
+        # ceiling: 32k rows × ~200 B lines ≈ 6 MiB per in-flight batch).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "32768"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

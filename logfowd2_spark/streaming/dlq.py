@@ -141,11 +141,11 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
 
     tag = f"redrive-{generation:05d}"
 
-    # recovered rows: same output shape as regular batches
-    from logfowd2_spark.codec import encode_line_sql  # noqa: PLC0415
-
-    good = good.withColumn("tokens", encode_line_sql(F.col("line")))
-    good = good.withColumn("n_tok", F.size("tokens"))
+    # recovered rows: same output shape as regular batches.  n_tok for a
+    # recovered row is the byte length of the re-parsed line (the codec
+    # is byte-level, so octet_length == the token count the encode UDF
+    # would produce — without building the array).
+    good = good.withColumn("n_tok", F.octet_length("line"))
     recovered = route_stage(enrich_stage(good, pods), cfg).drop("line", "body")
     out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={tag}")
     rec_obs = Observation()

@@ -110,7 +110,6 @@ def oracle_transform(
                 "doc_id": row["doc_id"],
                 "source": row["source"],
                 "n_tok": int(row["n_tok"]),
-                "tokens": list(row["tokens"]),
                 "byte_len": len(line.encode("utf-8")),
                 "ts": ts,
                 "level": level,

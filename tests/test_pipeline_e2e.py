@@ -55,13 +55,12 @@ def run_and_read(spark, d, paths, tag, **kw):
 
 def normalize(pdf):
     pdf = pdf.copy()
-    pdf["tokens"] = pdf["tokens"].map(lambda a: tuple(int(x) for x in a))
     pdf["ts"] = pdf["ts"].astype(str).str.replace(" ", "T").str.slice(0, 19)
     pdf["log_date"] = pdf["log_date"].astype(str)
     cols = [
         "doc_id", "sink_id", "level", "namespace", "pod_name", "pod_id",
         "container_name", "source", "n_tok", "byte_len", "node",
-        "workload_kind", "dim_hit", "tokens", "ts", "log_date",
+        "workload_kind", "dim_hit", "ts", "log_date",
     ]
     return pdf[cols].sort_values("doc_id").reset_index(drop=True)
 
@@ -81,7 +80,6 @@ def test_e2e_matches_oracle(spark, dataset, oracle):
     got = normalize(routed)
     want = o_routed.copy()
     want["ts"] = want["ts"].str.slice(0, 19)
-    want["tokens"] = want["tokens"].map(tuple)
     want = normalize(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
@@ -109,21 +107,22 @@ def test_dlq_contents(spark, dataset, oracle):
     assert (dlq["retry_count"] == 0).all()
 
 
-def test_arrow_codec_e2e_equivalence(spark, dataset, oracle):
-    """The arrow codec path (mapInArrow decode + byte-level sanitize)
-    must produce row-identical output to the jvm path on the synthetic
-    corpus (whose corruption classes are ASCII, where the byte- and
-    string-level sanitize semantics provably coincide)."""
+def test_jvm_codec_e2e_equivalence(spark, dataset, oracle):
+    """The opt-in jvm codec (pure-codegen chr decode + string-level
+    sanitize) must produce row-identical output to the default arrow
+    path on the synthetic corpus (whose corruption classes are ASCII,
+    where the byte- and string-level sanitize semantics provably
+    coincide)."""
     d, paths = dataset
-    cfg = make_cfg(d, paths, "arrowc")
-    cfg.codec = "arrow"
+    cfg = make_cfg(d, paths, "jvmc")
+    cfg.codec = "jvm"
     metrics = run_pipeline(spark, cfg, paths["pods"], paths["routes"])
     assert metrics[0].conservation_ok()
     got = normalize(read_routed(spark, cfg).toPandas())
-    # jvm side: reuses the main run's output when it exists (the rerun
+    # arrow side: reuses the main run's output when it exists (the rerun
     # is a manifest no-op), or produces it when running standalone
-    _, _, jvm_routed = run_and_read(spark, d, paths, "main")
-    want = normalize(jvm_routed)
+    _, _, arrow_routed = run_and_read(spark, d, paths, "main")
+    want = normalize(arrow_routed)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

@@ -46,8 +46,12 @@ def test_enrich_is_broadcast_join(env):
     assert "SortMergeJoin" not in plan
 
 
-def test_parse_stays_in_codegen(env):
+def test_parse_stays_in_codegen_jvm_codec(env):
+    """The opt-in jvm codec keeps the whole hot path Python-free."""
+    import dataclasses
+
     df, pods, cfg = env
+    cfg = dataclasses.replace(cfg, codec="jvm")
     routed, _ = transform_batch(df, pods, cfg)
     routed.collect()  # finalize the adaptive plan
     cg = explain_str(routed, "codegen")
@@ -56,7 +60,29 @@ def test_parse_stays_in_codegen(env):
     assert "Found 0 WholeStageCodegen" not in cg
     plan = plan_of(routed)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInPandas"):
-        assert marker not in plan, f"Python node {marker} in default hot path"
+        assert marker not in plan, f"Python node {marker} in jvm-codec hot path"
+
+
+def test_default_codec_single_arrow_node(env):
+    """The default (arrow) codec pays exactly ONE Python boundary — the
+    decode kernel; everything after it (parse/enrich/route) stays JVM-side
+    in codegen, and no row-at-a-time Python node exists anywhere."""
+    df, pods, cfg = env
+    assert cfg.codec == "arrow"
+    routed, _ = transform_batch(df, pods, cfg)
+    routed.collect()
+    # AQE prints '== Final Plan ==' then '== Initial Plan =='; count in
+    # the final section only
+    plan = plan_of(routed).split("== Initial Plan ==")[0]
+    assert plan.count("MapInArrow") == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"row-Python node {marker} in hot path"
+    cg = explain_str(routed, "codegen")
+    assert "WholeStageCodegen subtrees" in cg
+    # the token array must not survive past the decode: no plan node
+    # downstream of MapInArrow references it (it died at the boundary)
+    after = plan.split("MapInArrow")[0]  # physical plans print sink-first
+    assert "tokens" not in after
 
 
 def test_column_pruning_reaches_scan(spark, env):
