@@ -87,6 +87,12 @@ class PipelineConfig:
     # provisioning is the constraint.
     codec: str = "arrow"
 
+    # --- commit protocol for in-place table mutations (quarantine move,
+    # compaction swap, DLQ trim): "rename" = POSIX/HDFS metadata renames
+    # (atomic rename assumed); "put" = object-store-safe replayable
+    # staging (put/delete/list only, no renames).  See streaming/commit.py.
+    commit_protocol: str = "rename"
+
     def validate(self) -> "PipelineConfig":
         """Hard-fail validation, same style as settings.rs:131-260."""
         if self.max_line_size <= 0:
@@ -109,6 +115,8 @@ class PipelineConfig:
             raise ValueError("routes must not be empty")
         if self.codec not in ("jvm", "arrow"):
             raise ValueError("codec must be 'jvm' or 'arrow'")
+        if self.commit_protocol not in ("rename", "put"):
+            raise ValueError("commit_protocol must be 'rename' or 'put'")
         if self.dlq_max_size <= 0:
             raise ValueError("dlq_max_size must be > 0")
         for src, lvl, sink in self.routes:

@@ -10,6 +10,8 @@ Scale notes inline per operator.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -296,28 +298,50 @@ def _sig_ctes(dialect: str) -> str:
 
 #: memoized materializations, keyed by (applicationId, sf_dir) —
 #: applicationId is unique per SparkContext, unlike id(spark) whose
-#: address can be recycled onto a dead session.  localCheckpoint (not
-#: persist) so the stored data is lineage-free — replacing the
-#: `documents` temp view (which every _sql call does) silently uncaches
-#: plan-keyed persist() entries but cannot touch a checkpointed RDD.
+#: address can be recycled onto a dead session.  The values are
+#: DataFrames READING BACK a written parquet intermediate (not
+#: localCheckpoint): written data survives executor loss on a real
+#: cluster (localCheckpoint blocks are executor-local and unreplicated —
+#: losing one executor mid-job would make the cached shingle/signature
+#: data unrecoverable), and a parquet scan is immune to the
+#: view-replacement cache invalidation that silently uncaches persist().
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+#: scratch root for written intermediates; per-applicationId subdirs so
+#: concurrent sessions never collide and a fresh session never reuses a
+#: stale table.  On a cluster this would live under the job's output
+#: prefix on the DFS/object store — same durability argument.
+_SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/logfowd2_scratch")
 
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     app = spark.sparkContext.applicationId
     # entries from other (dead) sessions can never be reused — drop them
-    # so checkpointed RDDs don't pin storage across session restarts
     for cache in (_SHINGLE_CACHE, _SIG_CACHE):
         for k in [k for k in cache if k[0] != app]:
             del cache[k]
     return (app, sf_dir)
 
 
+def _write_intermediate(df: DataFrame, spark: SparkSession,
+                        key: tuple[str, str], name: str) -> DataFrame:
+    """Write ``df`` as a first-class parquet intermediate and return a
+    DataFrame that SCANS the written table (lineage = one file scan)."""
+    import re as _re
+
+    app, sf_dir = key
+    slug = _re.sub(r"[^A-Za-z0-9._-]+", "_", os.path.abspath(sf_dir))
+    path = os.path.join(_SCRATCH_ROOT, app, slug.strip("_"), name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _materialized_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DF-capped (doc_id, shingle) table, computed once per
     session×sf (the comprehension that builds trigrams is an interpreted
-    higher-order function — don't re-run it per downstream query)."""
+    higher-order function — don't re-run it per downstream query) and
+    written as a parquet intermediate (durability: see _write_intermediate)."""
     key = _cache_key(spark, sf_dir)
     if key not in _SHINGLE_CACHE:
         # small-SF inputs are a single parquet file = ONE scan partition;
@@ -328,21 +352,28 @@ def _materialized_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .repartition(par).createOrReplaceTempView("documents")
         sh = spark.sql(f"WITH {_capped_shingles('spark')} SELECT * FROM sh")
-        _SHINGLE_CACHE[key] = sh.localCheckpoint(eager=True)
+        _SHINGLE_CACHE[key] = _write_intermediate(sh, spark, key, "shingles")
     return _SHINGLE_CACHE[key]
 
 
 def _materialized_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The k=128 signature table, MATERIALIZED once per session×sf.
+    """The k=128 signature table, WRITTEN once per session×sf and read
+    back — a first-class intermediate, not a cache.
 
-    Catalyst has no common-subexpression elimination across
-    higher-order-function lambdas, so every downstream reference to the
-    ``sg`` array would re-evaluate all k×|shingles| md5s — a band
-    self-join re-hashed the corpus ~64× (measured: 594 s at sf0.1 vs
-    ~10 s materialized).  At 100 TB this is the standard LSH design
-    anyway — the signature table (docs × 2 KB, ~10⁻³ of the corpus) is a
-    first-class intermediate you write once, and every dedup pass joins
-    against it instead of re-hashing the corpus."""
+    Two reasons, both load-bearing at scale:
+
+    - Catalyst has no common-subexpression elimination across
+      higher-order-function lambdas, so every downstream reference to the
+      ``sg`` array would re-evaluate all k×|shingles| md5s — a band
+      self-join re-hashed the corpus ~64× (measured: 594 s at sf0.1 vs
+      ~10 s materialized).
+    - At 100 TB the signature table (docs × ~4 KB, ~10⁻³ of the corpus)
+      is the standard LSH design: write it once to the DFS, and every
+      dedup pass (bands, candidates, verify — and every FUTURE incremental
+      dedup run) scans it instead of re-hashing the corpus.  A written
+      table also survives executor loss mid-job, which the previous
+      localCheckpoint (executor-local, unreplicated, lineage-severed)
+      could not."""
     key = _cache_key(spark, sf_dir)
     if key not in _SIG_CACHE:
         sh = _materialized_shingles(spark, sf_dir)
@@ -351,7 +382,7 @@ def _materialized_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WITH sh AS (SELECT * FROM sh_materialized), {_SIG_SPARK.strip().lstrip()} "
             "SELECT doc_id, sg FROM sig"
         )
-        _SIG_CACHE[key] = sig.localCheckpoint(eager=True)
+        _SIG_CACHE[key] = _write_intermediate(sig, spark, key, "signatures")
     return _SIG_CACHE[key]
 
 

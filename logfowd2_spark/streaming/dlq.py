@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.ioutil import tree_num_rows
 
 DLQ_COLUMNS = ["doc_id", "source", "raw_line", "failure_reason", "retry_count"]
 
@@ -111,14 +112,24 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
 
     Delivery contract: at-least-once per generation, like the reference
     (a crash between the new-generation write and the old-dir removal
-    re-presents rows on the next pass; re-running the SAME generation
-    number is idempotent — both writes are per-generation overwrites).
+    re-presents rows on the next pass).  Re-running the SAME generation
+    number after a crash is idempotent: any partial ``redrive-N`` output
+    of the crashed attempt is discarded up front — its rows derive
+    entirely from the old generations, which are still present (they are
+    removed only as the final step) — so the rerun re-reads exactly the
+    crashed attempt's input instead of consuming (and concurrently
+    overwriting) its half-written output.
     """
     from logfowd2_spark.operators.enrich import enrich_stage  # noqa: PLC0415
     from logfowd2_spark.operators.parse import parse_lines  # noqa: PLC0415
     from logfowd2_spark.operators.route import route_stage, write_routed  # noqa: PLC0415
 
+    tag = f"redrive-{generation:05d}"
     dlq_path = os.path.join(cfg.output_path, "parse_failures")
+    # crash-rerun idempotence: drop this generation's own partial output
+    # BEFORE listing/reading, so it is never both source and sink
+    shutil.rmtree(os.path.join(dlq_path, f"batch_id={tag}"),
+                  ignore_errors=True)
     old_dirs = _dlq_batch_dirs(dlq_path)
     df = read_dlq(spark, dlq_path)
     eligible = df.filter(F.col("retry_count") < cfg.dlq_max_retry_count)
@@ -138,8 +149,6 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
         "doc_id", "source", F.col("line").alias("raw_line"), "failure_reason",
         (F.col("retry_count") + 1).alias("retry_count"),
     )
-
-    tag = f"redrive-{generation:05d}"
 
     # recovered rows: same output shape as regular batches.  n_tok for a
     # recovered row is the byte length of the re-parsed line (the codec
@@ -181,19 +190,94 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     }
 
 
+_TRIM_PREFIX = "trim-"
+
+
+def _gen_file_stats(d: str) -> list[tuple[str, int, str]]:
+    """(path, num_rows, min_doc_id) per parquet file in a generation dir,
+    from footers only (column statistics of the first/last row groups) —
+    no Spark job, no data read."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+            continue
+        full = os.path.join(d, fn)
+        md = pq.ParquetFile(full).metadata
+        mins = []
+        for rg in range(md.num_row_groups):
+            col = next(
+                (md.row_group(rg).column(i)
+                 for i in range(md.row_group(rg).num_columns)
+                 if md.row_group(rg).column(i).path_in_schema == "doc_id"),
+                None,
+            )
+            if col is not None and col.statistics and col.statistics.has_min_max:
+                mins.append(col.statistics.min)
+        out.append((full, md.num_rows, min(mins) if mins else ""))
+    return out
+
+
+def _recover_trims(dlq_path: str) -> None:
+    """Heal interrupted boundary trims: the trim protocol writes the
+    trimmed replacement file (named ``trim-<original>``) BEFORE deleting
+    the original, so a crash in between leaves both — the replacement's
+    existence records the committed intent, and the original is deleted
+    here.  Stale staging dirs are dropped (never visible to readers)."""
+    if not os.path.isdir(dlq_path):
+        return
+    for d in _dlq_batch_dirs(dlq_path):
+        for fn in os.listdir(d):
+            if fn.startswith(_TRIM_PREFIX):
+                orig = os.path.join(d, fn[len(_TRIM_PREFIX):])
+                if os.path.exists(orig):
+                    os.remove(orig)
+    for name in os.listdir(dlq_path):
+        if name.startswith("_trimstage"):
+            shutil.rmtree(os.path.join(dlq_path, name), ignore_errors=True)
+
+
+def _generation_age_key(d: str):
+    """Drop-oldest order across mixed tag prefixes (batch-*/stream-*/
+    redrive-*): lexicographic names would always sacrifice 'batch-*'
+    generations first regardless of real age, so age is the oldest data
+    file's mtime (a generation is written once; a later boundary trim
+    rewrites at most one file, which cannot lower the min), with the
+    dir name as the deterministic tiebreak."""
+    mtimes = [
+        os.path.getmtime(os.path.join(d, fn))
+        for fn in os.listdir(d)
+        if fn.endswith(".parquet") and not fn.startswith((".", "_"))
+    ]
+    return (min(mtimes) if mtimes else os.path.getmtime(d), d)
+
+
 def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
                     cfg: PipelineConfig) -> int:
     """Bound the quarantine at ``dlq_max_size`` rows, dropping oldest
     first (reference dead_letter_queue.rs:84-94: push_back + pop_front
-    at capacity).  Age order is generation order (batch_id dirs sort
-    lexicographically within a run); whole stale generations are removed
-    via footer counts (metadata-only), and at most ONE boundary
-    generation is trimmed with a small Spark job over just that dir.
-    Returns the number of rows dropped.
-    """
-    from logfowd2_spark.ioutil import tree_num_rows  # noqa: PLC0415
+    at capacity).
 
-    dirs = _dlq_batch_dirs(dlq_path)
+    Everything is metadata-sized except at most ONE bounded job: whole
+    stale generations are deleted via footer counts; inside the single
+    boundary generation, whole oldest FILES are deleted via footer
+    ``doc_id`` statistics (doc_id ascending is the age proxy; writers
+    emit files in doc_id order, so file min-stats order the files), and
+    only the one straddling file is rewritten — a sort-limit over ≤ one
+    file (bounded by ``maxRecordsPerFile``), never over the generation.
+    The round-2 version global-sorted the whole boundary generation
+    through a single-partition limit: at dlq_max_size=10⁸ that is a
+    one-task job; this version's only Spark job is O(file).
+
+    Crash-safe without renames: deletions are replayable (the next call
+    recomputes overflow from what remains) and the straddling-file swap
+    writes the ``trim-<orig>`` replacement before deleting the original
+    (``_recover_trims`` resolves the both-exist window).  Returns the
+    number of rows dropped.
+    """
+    _recover_trims(dlq_path)
+    dirs = sorted(_dlq_batch_dirs(dlq_path), key=_generation_age_key)
     counts = [(d, tree_num_rows(d)) for d in dirs]
     total = sum(n for _d, n in counts)
     overflow = total - cfg.dlq_max_size
@@ -208,23 +292,40 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
             overflow -= n
             dropped += n
             continue
-        # boundary generation: keep the newest (n - overflow) rows;
-        # within a generation, doc_id ascending is the deterministic
-        # age proxy (enqueue order is not recorded per row)
-        keep = (
-            spark.read.option("mergeSchema", "true").parquet(d)
-            .orderBy(F.col("doc_id").desc())
-            .limit(n - overflow)
-        )
-        # underscore-prefixed temp dir: invisible to both _dlq_batch_dirs
-        # (no 'batch_id=' prefix) and Spark's file listing (hidden), so a
-        # crash mid-trim can never double-count the generation
-        tmp = os.path.join(dlq_path, "_trim_" + os.path.basename(d))
-        shutil.rmtree(tmp, ignore_errors=True)
-        keep.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(d, ignore_errors=True)
-        os.replace(tmp, d)
-        dropped += overflow
+        # boundary generation: drop its oldest `overflow` rows
+        acc = 0
+        for path, rows, _min_doc in sorted(
+            _gen_file_stats(d), key=lambda t: (t[2], t[0])
+        ):
+            if acc >= overflow:
+                break
+            if acc + rows <= overflow:
+                os.remove(path)  # whole file older than the cut
+                acc += rows
+                continue
+            # straddling file: keep its newest (rows - needed) rows
+            keep_k = rows - (overflow - acc)
+            stage = os.path.join(dlq_path, "_trimstage")
+            shutil.rmtree(stage, ignore_errors=True)
+            (
+                spark.read.parquet(path)
+                .orderBy(F.col("doc_id").desc()).limit(keep_k)
+                .coalesce(1).write.mode("overwrite").parquet(stage)
+            )
+            part = next(
+                fn for fn in sorted(os.listdir(stage))
+                if fn.endswith(".parquet")
+            )
+            trimmed = os.path.join(d, _TRIM_PREFIX + os.path.basename(path))
+            # put-then-delete ordering: replacement visible first, the
+            # original's deletion is the commit (see _recover_trims)
+            with open(os.path.join(stage, part), "rb") as fi, \
+                    open(trimmed, "wb") as fo:
+                shutil.copyfileobj(fi, fo)
+            os.remove(path)
+            shutil.rmtree(stage, ignore_errors=True)
+            acc = overflow
+        dropped += acc
         overflow = 0
     return dropped
 

@@ -34,7 +34,13 @@ def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
                       batch_id: str) -> DataFrame:
     """The routed table as of (and including) ``batch_id`` — only batch
     dirs committed up to that point are scanned (partition pruning by
-    construction: later data is never listed, let alone read)."""
+    construction: later data is never listed, let alone read).
+
+    Heals interrupted compactions first: after a mid-compaction crash
+    the batch's live dir may not exist yet (its data sits in the
+    committer's transient dir) — without recovery the batch would be
+    silently absent from the snapshot."""
+    recover_compactions(cfg)
     ids = committed_batch_ids(cfg)
     if batch_id not in ids:
         raise ValueError(f"batch {batch_id!r} is not committed")
@@ -50,28 +56,15 @@ from logfowd2_spark.ioutil import tree_num_rows as _tree_num_rows  # noqa: E402
 
 
 def recover_compactions(cfg: PipelineConfig) -> list[str]:
-    """Heal interrupted compactions: a crash between the two directory
-    renames in ``compact_batch`` leaves ``<dir>.old`` (the original
-    data) without a live ``<dir>``.  Restore the original — data is
-    never deleted until the swapped-in directory exists.  Returns the
-    batch dirs restored."""
-    root = os.path.join(cfg.output_path, "routed")
-    restored = []
-    if not os.path.isdir(root):
-        return restored
-    for name in sorted(os.listdir(root)):
-        if not name.endswith(".old"):
-            continue
-        live = os.path.join(root, name[: -len(".old")])
-        old = os.path.join(root, name)
-        if not os.path.isdir(live):
-            os.replace(old, live)
-            restored.append(live)
-        else:
-            shutil.rmtree(old, ignore_errors=True)  # completed swap leftovers
-        # a stale .compact twin is always safe to drop (not yet live)
-        shutil.rmtree(live + ".compact", ignore_errors=True)
-    return restored
+    """Heal interrupted compaction commits under the routed root via the
+    configured commit protocol (streaming/commit.py): restores originals
+    from ``_old_`` safety dirs (rename protocol) or replays commit-ready
+    stages (put protocol).  Returns the batch dirs healed."""
+    from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
+
+    return get_committer(cfg.commit_protocol).recover(
+        os.path.join(cfg.output_path, "routed")
+    )
 
 
 def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
@@ -117,19 +110,22 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     """Compact one committed batch dir to ~target-sized files.
 
     One pass: read the batch subtree, REBALANCE by the partition keys
-    (AQE sizes output splits), rewrite into ``<dir>.compact``, verify
-    row counts from parquet footers, then swap directories.  The swap is
-    two renames, not atomic: a crash in between leaves ``<dir>.old``
-    holding the ORIGINAL data and no live dir — ``recover_compactions``
-    (run here on entry, and safe to run at startup) restores it, so
-    rows are never lost, only a compaction retried.
-    Returns {files_before, files_after, rows}.
+    (AQE sizes output splits), rewrite into the committer's staging dir
+    (``_stage_<name>``: underscore-prefixed, so Spark partition
+    discovery never sees in-flight data), verify row counts from parquet
+    footers, then commit via the configured protocol — crash recovery is
+    ``recover_compactions`` (run here on entry, at pipeline startup, and
+    in ``read_routed_as_of``), so rows are never lost, only a compaction
+    retried.  Returns {files_before, files_after, rows}.
     """
+    from logfowd2_spark.streaming.commit import get_committer, stage_path  # noqa: PLC0415
+
+    committer = get_committer(cfg.commit_protocol)
     recover_compactions(cfg)
     batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
     if not os.path.isdir(batch_dir):
         raise ValueError(f"no such batch dir: {batch_dir}")
-    tmp = batch_dir + ".compact"
+    tmp = stage_path(batch_dir)
     shutil.rmtree(tmp, ignore_errors=True)
 
     files_before = _tree_num_files(batch_dir)
@@ -148,11 +144,7 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}"
         )
-    old = batch_dir + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(batch_dir, old)
-    os.replace(tmp, batch_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    committer.swap(batch_dir, tmp)
     return {
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),

@@ -228,21 +228,20 @@ def _partition_lineage_from_footers(out_dir: str) -> list[dict]:
     return rows
 
 
-def _move_dlq_partition(out_dir: str, dlq_batch_dir: str) -> None:
+def _move_dlq_partition(out_dir: str, dlq_batch_dir: str,
+                        cfg: PipelineConfig) -> None:
     """Relocate the reserved ``__dlq__`` sink partition into the
-    parse_failures table.  POSIX rename (metadata-only) — declared plan-B
-    for local/HDFS filesystems; on an object store this would be the
-    sink connector's commit (SURVEY.md §7 risk d)."""
+    parse_failures table, through the configured commit protocol
+    (streaming/commit.py: metadata renames on POSIX/HDFS, replayable
+    puts on an object store — SURVEY.md §7 risk d)."""
+    from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
+
     dlq_src = os.path.join(out_dir, f"sink_id={DLQ_SINK}")
     if not os.path.isdir(dlq_src):
         return
-    os.makedirs(dlq_batch_dir, exist_ok=True)
     date_dir = os.path.join(dlq_src, f"log_date={DLQ_DATE}")
     src = date_dir if os.path.isdir(date_dir) else dlq_src
-    for fname in os.listdir(src):
-        if not fname.startswith("."):
-            os.replace(os.path.join(src, fname),
-                       os.path.join(dlq_batch_dir, fname))
+    get_committer(cfg.commit_protocol).move_files(src, dlq_batch_dir)
     shutil.rmtree(dlq_src, ignore_errors=True)
 
 
@@ -297,7 +296,7 @@ def execute_unified_batch(
         r for r in _partition_lineage_from_footers(out_dir)
         if r["sink_id"] != DLQ_SINK
     ]
-    _move_dlq_partition(out_dir, dlq_batch_dir)
+    _move_dlq_partition(out_dir, dlq_batch_dir, cfg)
 
     agg = _stats_from_observation(vals, sinks)
     dlq_stats_row = agg.pop(DLQ_SINK, None)
@@ -369,6 +368,16 @@ def run_pipeline(
     cfg.validate()
     cfg.routes = load_routes(spark, routes_path)
     pods = spark.read.parquet(pods_path)
+
+    # heal interrupted maintenance commits BEFORE any read: a crash
+    # mid-compaction or mid-trim leaves transient dirs that only the
+    # committer's recovery resolves (until then they are invisible to
+    # readers, so the un-swapped original data is what gets read)
+    from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
+
+    committer = get_committer(cfg.commit_protocol)
+    committer.recover(os.path.join(cfg.output_path, "routed"))
+    committer.recover(os.path.join(cfg.output_path, "parse_failures"))
 
     files = list_input_files(spark, cfg.input_path)
     fpb = files_per_batch or len(files)

@@ -51,6 +51,54 @@ def test_dlq_cap_drop_oldest(spark, tmp_path):
     assert b2.count() == 10
 
 
+def test_dlq_cap_mixed_prefix_age_order(spark, tmp_path):
+    """Drop-oldest across mixed generation tags must follow real age
+    (file mtime), not lexicographic names: a 'redrive-*' generation
+    written BEFORE a 'batch-*' one is the older and must be sacrificed
+    first (lexicographic order would always drop 'batch-*' first)."""
+    import time
+
+    dlq_path = str(tmp_path / "parse_failures")
+    cfg = PipelineConfig(dlq_max_size=20)
+    write_dlq(_mk_rows(spark, 20, "g", 0), dlq_path, "redrive-00003")
+    time.sleep(0.05)
+    write_dlq(_mk_rows(spark, 20, "g", 100), dlq_path, "batch-00007")
+
+    dropped = enforce_dlq_cap(spark, dlq_path, cfg)
+    assert dropped == 20
+    assert not os.path.isdir(os.path.join(dlq_path, "batch_id=redrive-00003"))
+    assert os.path.isdir(os.path.join(dlq_path, "batch_id=batch-00007"))
+
+
+def test_dlq_trim_crash_recovery(spark, tmp_path):
+    """The boundary trim publishes the trimmed replacement BEFORE
+    deleting the original file; a crash in that window leaves both, and
+    the next cap enforcement must resolve it to exactly the trimmed
+    rows (no duplicates, no loss)."""
+    import shutil
+
+    dlq_path = str(tmp_path / "parse_failures")
+    cfg = PipelineConfig(dlq_max_size=30)
+    write_dlq(_mk_rows(spark, 40, "g", 0), dlq_path, "batch-00000")
+    gen = os.path.join(dlq_path, "batch_id=batch-00000")
+    # simulate the crash window: a trimmed twin exists for some original
+    orig = sorted(
+        f for f in os.listdir(gen)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )[0]
+    shutil.copyfile(os.path.join(gen, orig),
+                    os.path.join(gen, "trim-" + orig))
+    before = read_dlq(spark, dlq_path).count()  # both visible pre-recovery
+    assert before > 40
+    dropped = enforce_dlq_cap(spark, dlq_path, cfg)
+    # recovery removed the original (its trim committed), then the cap
+    # trimmed down to exactly dlq_max_size
+    left = read_dlq(spark, dlq_path)
+    assert left.count() == 30
+    assert left.select("doc_id").distinct().count() == 30  # no duplicates
+    assert dropped == 10
+
+
 def test_dlq_cap_noop_under_limit(spark, tmp_path):
     dlq_path = str(tmp_path / "parse_failures")
     cfg = PipelineConfig(dlq_max_size=100)

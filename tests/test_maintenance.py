@@ -94,19 +94,23 @@ def test_ndjson_bulk_export(spark, ran, tmp_path):
 
 
 def test_recover_interrupted_compaction(spark, ran):
-    """Crash window between compact_batch's two renames: the .old dir
-    holds the original data with no live dir — recovery must restore it
-    (rows are never lost)."""
-    import shutil
-
+    """Crash window between compact_batch's two renames: the ``_old_``
+    dir holds the original data with no live dir — recovery must restore
+    it (rows are never lost), and while un-recovered the debris is
+    INVISIBLE to readers (underscore prefix: no phantom partition
+    values, the round-2 '.old' suffix leaked into read_routed)."""
+    from logfowd2_spark.streaming.commit import _old_path
     from logfowd2_spark.streaming.maintenance import recover_compactions
 
     cfg, metrics = ran
     ids = committed_batch_ids(cfg)
-    batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={ids[1]}")
+    root = os.path.join(cfg.output_path, "routed")
+    batch_dir = os.path.join(root, f"batch_id={ids[1]}")
     # simulate the crash: data moved aside, swap never completed
-    os.replace(batch_dir, batch_dir + ".old")
+    os.replace(batch_dir, _old_path(batch_dir))
     assert not os.path.isdir(batch_dir)
+    # the in-flight state never surfaces as data (no bogus partitions)
+    assert read_routed(spark, cfg).count() == metrics[0].rows_routed
     restored = recover_compactions(cfg)
     assert restored == [batch_dir]
     assert read_routed(spark, cfg).count() == sum(m.rows_routed for m in metrics)

@@ -126,6 +126,25 @@ def test_lsh_candidates_are_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_reads_durable_signature_table(spark):
+    """The MinHash signature table is a WRITTEN parquet intermediate
+    (survives executor loss; localCheckpoint would not): downstream LSH
+    queries must show a parquet scan of the signatures path, and the
+    expensive signature build must not appear in their plans."""
+    from logfowd2_spark.plans.trainingdata import (
+        lsh_band_groups, minhash_signatures,
+    )
+
+    minhash_signatures(spark, "/root/testdata/sf0.001")  # triggers the write
+    plan = plan_of(lsh_band_groups(spark, "/root/testdata/sf0.001"))
+    # the leaf is a parquet scan of the written (doc_id, sg) table
+    # (paths truncate in the plan string, so match the scan schema)
+    assert "Parquet" in plan
+    assert "ReadSchema: struct<doc_id:bigint,sg:array<string>>" in plan
+    # the k×|shingles| hash build is absent: no re-hash per query
+    assert "sequence(0, 127" not in plan
+
+
 def test_simhash_has_no_global_sort(spark):
     from logfowd2_spark.plans.trainingdata import simhash_fingerprint
 
