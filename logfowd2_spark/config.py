@@ -95,8 +95,10 @@ class PipelineConfig:
 
     def validate(self) -> "PipelineConfig":
         """Hard-fail validation, same style as settings.rs:131-260."""
-        if self.max_line_size <= 0:
-            raise ValueError("max_line_size must be > 0")
+        if self.max_line_size < 4:
+            # one UTF-8 codepoint must fit (the byte-exact truncation cut
+            # probes up to 4 trailing bytes; reference default is 1 MiB)
+            raise ValueError("max_line_size must be >= 4")
         if self.bulk_size <= 0:
             # reference settings.rs:194-196
             raise ValueError("bulk_size must be > 0")

@@ -55,19 +55,52 @@ def strip_line_endings(line: Column) -> Column:
 
 def truncate_line(line: Column, max_line_size: int,
                   suffix: str = TRUNCATION_SUFFIX) -> Column:
-    """Cut lines longer than ``max_line_size`` BYTES and append the marker.
+    """Cut lines longer than ``max_line_size`` BYTES at a UTF-8 boundary
+    and append the marker — byte-exact parity with the reference's
+    boundary-backoff cut (file.rs:595-617): the kept content is the
+    longest codepoint prefix with ``octet_length <= max_line_size``.
 
-    The reference's limit is a byte budget (1 MiB, file.rs:595-617), so
-    the threshold is ``octet_length``; the cut point itself stays
-    codepoint-based (``substring``) which inherently respects UTF-8
-    boundaries — a kept multi-byte line section can therefore run up to
-    ~4x the byte budget, a documented safety-over-exactness trade
-    (mirroring the reference's own boundary-backoff, which also keeps
-    the cut short of the limit rather than splitting a code point).
+    Pure-JVM implementation: slice the first ``max_line_size`` bytes in
+    the binary domain, then back off a partial trailing codepoint by
+    probing the (at most 4) final bytes with hex() — a UTF-8 sequence is
+    one lead byte plus 0-3 continuation bytes (0x80..0xBF), so the cut
+    keeps the slice iff the trailing sequence is complete, else drops
+    it.  The input is a valid-UTF-8 Spark string, so the boundary-valid
+    byte slice casts back to string without validation concerns.  All
+    probes are constant-position one-byte slices; the whole expression
+    sits behind the oversize CASE guard, so in-budget lines (the ~100%
+    case) pay one octet_length scan.
     """
+    if max_line_size < 4:
+        raise ValueError("max_line_size must be >= 4 (one UTF-8 codepoint)")
+    m = max_line_size
+    cut = F.substring(line.cast("binary"), 1, m)
+
+    def hx(p: int) -> Column:
+        return F.hex(F.substring(cut, p, 1))
+
+    def is_cont(h: Column) -> Column:
+        return (h >= "80") & (h <= "BF")
+
+    # trailing continuation-byte run length (0..3; valid UTF-8 never has 4)
+    t = (
+        F.when(~is_cont(hx(m)), F.lit(0))
+        .when(~is_cont(hx(m - 1)), F.lit(1))
+        .when(~is_cont(hx(m - 2)), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    lead = F.hex(F.substring(cut, F.lit(m) - t, F.lit(1)))
+    seq_len = (
+        F.when(lead < "80", F.lit(1))        # ASCII
+        .when((lead >= "C0") & (lead <= "DF"), F.lit(2))
+        .when((lead >= "E0") & (lead <= "EF"), F.lit(3))
+        .when(lead >= "F0", F.lit(4))
+        .otherwise(F.lit(1))
+    )
+    keep = F.when(seq_len == t + 1, F.lit(m)).otherwise(F.lit(m) - t - 1)
+    exact = F.substring(line.cast("binary"), F.lit(1), keep).cast("string")
     return F.when(
-        F.octet_length(line) > max_line_size,
-        F.concat(F.substring(line, 1, max_line_size), F.lit(suffix)),
+        F.octet_length(line) > m, F.concat(exact, F.lit(suffix))
     ).otherwise(line)
 
 

@@ -162,31 +162,52 @@ def pipe_meta_unknown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_truncate",
     """
-    SELECT doc_id,
-           CASE WHEN length(text) > 120
-                THEN substr(text, 1, 120) || '... [TRUNCATED]'
-                ELSE text END AS line,
-           length(CASE WHEN length(text) > 120
-                THEN substr(text, 1, 120) || '... [TRUNCATED]'
-                ELSE text END) AS line_len
-    FROM documents
+    WITH s AS (
+      SELECT doc_id, replace(text, 'a', 'á') AS line FROM documents
+    ), h AS (
+      SELECT doc_id, line, hex(encode(line)) AS b,
+             octet_length(encode(line)) AS nb
+      FROM s
+    ), c AS (
+      SELECT doc_id, line, b, nb,
+             CASE WHEN NOT (substr(b, 239, 2) BETWEEN '80' AND 'BF') THEN 0
+                  WHEN NOT (substr(b, 237, 2) BETWEEN '80' AND 'BF') THEN 1
+                  WHEN NOT (substr(b, 235, 2) BETWEEN '80' AND 'BF') THEN 2
+                  ELSE 3 END AS t
+      FROM h
+    ), k AS (
+      SELECT doc_id, line, b, nb, t,
+             CASE WHEN substr(b, 2*(120 - t) - 1, 2) < '80' THEN 1
+                  WHEN substr(b, 2*(120 - t) - 1, 2) BETWEEN 'C0' AND 'DF' THEN 2
+                  WHEN substr(b, 2*(120 - t) - 1, 2) BETWEEN 'E0' AND 'EF' THEN 3
+                  WHEN substr(b, 2*(120 - t) - 1, 2) >= 'F0' THEN 4
+                  ELSE 1 END AS seq_len
+      FROM c
+    ), f AS (
+      SELECT doc_id,
+             CASE WHEN nb <= 120 THEN line
+                  ELSE decode(unhex(substr(b, 1,
+                         2 * (CASE WHEN seq_len = t + 1 THEN 120
+                                   ELSE 120 - t - 1 END))))
+                       || '... [TRUNCATED]' END AS line
+      FROM k
+    )
+    SELECT doc_id, line, octet_length(encode(line)) AS byte_len FROM f
     """,
 )
 def pipe_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference S5: oversized-line truncation (file.rs:553-634)."""
-    return _sql(
-        spark, sf_dir,
-        """
-        SELECT doc_id,
-               CASE WHEN length(text) > 120
-                    THEN concat(substring(text, 1, 120), '... [TRUNCATED]')
-                    ELSE text END AS line,
-               length(CASE WHEN length(text) > 120
-                    THEN concat(substring(text, 1, 120), '... [TRUNCATED]')
-                    ELSE text END) AS line_len
-        FROM documents
-        """,
-        ["documents"],
+    """Reference S5: oversized-line truncation, byte-exact at a UTF-8
+    boundary (file.rs:553-634 boundary-backoff).  The 'a'→'á' replace
+    seeds multi-byte codepoints through the ASCII corpus so the 120-byte
+    cut point lands mid-codepoint on real rows — the oracle re-derives
+    the boundary backoff independently in DuckDB's hex/blob domain."""
+    from logfowd2_spark.functions.kernels import truncate_line  # noqa: PLC0415
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    line = truncate_line(F.expr("replace(text, 'a', 'á')"), 120)
+    return (
+        df.select("doc_id", line.alias("line"))
+        .select("doc_id", "line", F.octet_length("line").alias("byte_len"))
     )
 
 

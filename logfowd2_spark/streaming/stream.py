@@ -67,14 +67,31 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
 
 
 def stateful_dedup_stream(spark: SparkSession, cfg: PipelineConfig,
-                          queryName: str = "dedup_stream"):
+                          queryName: str = "dedup_stream",
+                          ttl_ms: int = 24 * 3600 * 1000,
+                          continuous: bool = False):
     """Custom stateful operator via ``applyInPandasWithState``:
     cross-micro-batch exact dedup by doc_id.  State per key is a single
-    seen-flag; only a key's first occurrence is emitted.  This is the
-    canonical shape for custom stateful streaming ops the built-in
-    operators can't express (the streaming analogue of dedup over an
-    unbounded input; ``dropDuplicates`` on a stream keeps unbounded
-    state too — this variant shows the user-controlled state surface).
+    seen-flag; only a key's first occurrence within the TTL is emitted.
+    This is the canonical shape for custom stateful streaming ops the
+    built-in operators can't express (``dropDuplicates`` on a stream
+    keeps unbounded state — this variant shows the user-controlled state
+    surface INCLUDING its eviction).
+
+    State is BOUNDED: every live key carries a processing-time timeout of
+    ``ttl_ms``; when it fires the key's state is removed, so total state
+    is O(distinct keys per TTL window), not O(stream lifetime).  A
+    duplicate arriving after its key expired is re-emitted — the standard
+    TTL-dedup trade (exactly the reference's own dedup horizon: it
+    replays up to 10 s of events on restart and re-sends them,
+    SURVEY.md §3.2; an unbounded exact guarantee needs an offline pass).
+
+    ``continuous=True`` runs a periodic processing-time trigger instead
+    of availableNow — required when ``ttl_ms`` is short relative to the
+    input: with availableNow + armed short timeouts the planner keeps
+    scheduling timeout-draining batches past the data, and a memory-sink
+    query cannot be restarted on its checkpoint to observe eviction, so
+    a live query polled via ``lastProgress`` is the observable shape.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -83,11 +100,15 @@ def stateful_dedup_stream(spark: SparkSession, cfg: PipelineConfig,
     stream = read_sequences_stream(spark, cfg, max_files_per_trigger=1)
 
     def dedup_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: the key may dedup anew
+            return
         if state.exists:
             seen = True
         else:
             seen = False
             state.update((1,))
+        state.setTimeoutDuration(ttl_ms)  # (re)arm the TTL
         if not seen:
             first = None
             for pdf in pdf_iter:
@@ -105,16 +126,19 @@ def stateful_dedup_stream(spark: SparkSession, cfg: PipelineConfig,
         outputStructType="doc_id string, source string, n_tok int",
         stateStructType="seen int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    return (
+    writer = (
         out.writeStream.format("memory")
         .queryName(queryName)
         .outputMode("append")
         .option("checkpointLocation", cfg.checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
     )
+    if continuous:
+        writer = writer.trigger(processingTime="500 milliseconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_level_counts(spark: SparkSession, cfg: PipelineConfig,

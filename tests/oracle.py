@@ -41,10 +41,19 @@ def oracle_transform(
         return s
 
     def truncate(s: str) -> str:
-        # byte-budget threshold, codepoint cut (matches kernels.truncate_line)
-        if len(s.encode("utf-8")) > max_line_size:
-            return s[:max_line_size] + suffix
-        return s
+        # byte-budget threshold AND byte-exact UTF-8-boundary cut
+        # (matches kernels.truncate_line / reference file.rs:595-617)
+        b = s.encode("utf-8")
+        if len(b) <= max_line_size:
+            return s
+        t = 0
+        while t < 3 and (b[max_line_size - 1 - t] & 0xC0) == 0x80:
+            t += 1
+        lead = b[max_line_size - 1 - t]
+        exp = (1 if lead < 0x80 else 2 if lead < 0xE0 else
+               3 if lead < 0xF0 else 4)
+        keep = max_line_size if exp == t + 1 else max_line_size - t - 1
+        return b[:keep].decode("utf-8") + suffix
 
     lines = lines.map(lambda s: re.sub(r"[\r\n]+$", "", s))
     lines = lines.map(sanitize).map(truncate)

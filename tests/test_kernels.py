@@ -34,11 +34,30 @@ def test_truncate_line(spark):
 
 
 def test_truncate_utf8_boundary(spark):
-    # reference cuts at byte boundaries (file.rs:1504); Spark substring is
-    # codepoint-based so no mojibake is possible
-    df = _one_col(spark, ["ééééé"])
-    out = df.select(truncate_line(F.col("line"), 3).alias("t")).collect()
-    assert out[0]["t"] == "ééé... [TRUNCATED]"
+    """Byte-exact boundary cut (reference file.rs:595-617): the kept
+    content is the longest codepoint prefix within the BYTE budget —
+    never a split codepoint, never >budget bytes."""
+    suffix = "... [TRUNCATED]"
+    vectors = [
+        # (input, budget, expected kept prefix)
+        ("ééééé", 5, "éé"),          # 2-byte chars: 5-byte budget keeps 4
+        ("ééééé", 4, "éé"),          # exact fit at the boundary
+        ("aéééé", 4, "aé"),          # mixed: 1+2 bytes fit, 4th byte splits
+        ("εεεε", 7, "εεε"),          # 2-byte greek: keeps 6 of the 7-budget
+        ("日本語テスト", 8, "日本"),    # 3-byte chars: 8-byte budget keeps 6
+        ("x日本語テスト", 8, "x日本"),  # lead offset by ASCII
+        ("🎉🎉🎉", 6, "🎉"),          # 4-byte chars: keeps 4 of 6
+        ("🎉🎉🎉", 7, "🎉"),
+        ("🎉🎉🎉", 8, "🎉🎉"),
+    ]
+    for text, budget, kept in vectors:
+        df = _one_col(spark, [text])
+        out = df.select(
+            truncate_line(F.col("line"), budget).alias("t"),
+            F.octet_length(truncate_line(F.col("line"), budget)).alias("b"),
+        ).collect()[0]
+        assert out["t"] == kept + suffix, (text, budget)
+        assert out["b"] <= budget + len(suffix.encode()), (text, budget)
 
 
 def test_sanitize_nul_bytes(spark):
@@ -167,11 +186,11 @@ def test_parse_fractional_seconds_timestamp(spark):
 
 
 def test_truncate_threshold_is_bytes(spark):
-    # 3 chars = 6 bytes: over a 5-BYTE budget even though len() is 3
+    # 3 chars = 6 bytes: over a 5-BYTE budget even though len() is 3;
+    # the cut is byte-exact too — 2 chars (4 bytes) fit, the 3rd splits
     df = _one_col(spark, ["ééé"])
     out = df.select(truncate_line(F.col("line"), 5).alias("t")).collect()
-    # trigger fires on bytes (6 > 5); codepoint cut keeps all 3 chars
-    assert out[0]["t"] == "ééé... [TRUNCATED]"
+    assert out[0]["t"] == "éé... [TRUNCATED]"
 
 
 def test_parse_handles_empty_and_short_lines(spark):

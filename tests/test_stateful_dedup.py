@@ -42,3 +42,62 @@ def test_cross_batch_dedup(spark, dup_dataset, tmp_path):
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == 200               # 260 input rows, 60 dups dropped
     assert len(set(ids)) == 200
+
+
+def test_state_ttl_eviction(spark, tmp_path):
+    """The per-key state must EXPIRE (processing-time TTL): a key whose
+    timeout fired is evicted — bounding total state to the keys of one
+    TTL window — and a later duplicate of it is re-emitted (the
+    documented TTL-dedup trade).  One live query throughout: eviction is
+    observed via lastProgress state-row counts dropping to zero (Spark
+    schedules timeout-draining batches on its own once timeouts are
+    armed), then re-emission via the memory sink growing again."""
+    import time
+
+    pods = synth.gen_pods(seed=7)
+    seq = synth.gen_sequences(50, pods, seed=7)
+    tbl = pa.Table.from_pandas(seq, schema=synth.SEQUENCES_ARROW_SCHEMA,
+                               preserve_index=False)
+    d = tmp_path / "seq"
+    os.makedirs(d)
+    cfg = PipelineConfig(
+        input_path=str(d),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q = stateful_dedup_stream(spark, cfg, queryName="ttl_s", ttl_ms=2000,
+                              continuous=True)
+    try:
+        def emitted():
+            return [r["doc_id"]
+                    for r in spark.sql("SELECT doc_id FROM ttl_s").collect()]
+
+        def state_rows():
+            p = q.lastProgress
+            ops = (p or {}).get("stateOperators") or []
+            return ops[0].get("numRowsTotal") if ops else None
+
+        def wait_until(pred, what, timeout=120):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if pred():
+                    return
+                time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {what}")
+
+        pq.write_table(tbl, str(d / "f0.parquet"))
+        wait_until(lambda: len(emitted()) == 50, "first emission")
+        got1 = set(emitted())
+        assert len(got1) == 50
+
+        # TTL fires → all 50 keys evicted; state store drains to empty
+        wait_until(lambda: state_rows() == 0, "state eviction")
+
+        # same keys again: re-emitted because their state is gone (with
+        # NoTimeout semantics this write would add 0 rows forever)
+        pq.write_table(tbl, str(d / "f1.parquet"))
+        wait_until(lambda: len(emitted()) == 100, "re-emission")
+        ids = emitted()
+        assert set(ids) == got1 and len(ids) == 100  # each key exactly twice
+    finally:
+        q.stop()
