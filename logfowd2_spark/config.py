@@ -87,6 +87,18 @@ class PipelineConfig:
     # provisioning is the constraint.
     codec: str = "arrow"
 
+    # --- sink fault injection (reference transient-error taxonomy,
+    # pool.rs:165-313: timeout/429/5xx are retryable; error.rs:28-62).
+    # When set, rows routed to ``sink_fault_sink`` are REJECTED with
+    # reason 'sink_unavailable' (class transient) while the delivery
+    # attempt number (0 for the initial batch, retry_count+1 on a
+    # redrive) is < ``sink_fault_until_retry`` — a deterministic
+    # stand-in for a sink that recovers after N attempts, driving the
+    # DLQ retry loop end-to-end.  None disables injection (the
+    # production default).
+    sink_fault_sink: str | None = None
+    sink_fault_until_retry: int = 1
+
     # --- commit protocol for in-place table mutations (quarantine move,
     # compaction swap, DLQ trim): "rename" = POSIX/HDFS metadata renames
     # (atomic rename assumed); "put" = object-store-safe replayable
@@ -121,6 +133,9 @@ class PipelineConfig:
             raise ValueError("commit_protocol must be 'rename' or 'put'")
         if self.dlq_max_size <= 0:
             raise ValueError("dlq_max_size must be > 0")
+        if self.sink_fault_sink is not None and self.sink_fault_until_retry < 1:
+            raise ValueError("sink_fault_until_retry must be >= 1 when "
+                             "sink_fault_sink is set")
         for src, lvl, sink in self.routes:
             if not sink:
                 raise ValueError(f"route ({src},{lvl}) has empty sink")

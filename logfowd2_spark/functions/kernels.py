@@ -60,42 +60,41 @@ def truncate_line(line: Column, max_line_size: int,
     boundary-backoff cut (file.rs:595-617): the kept content is the
     longest codepoint prefix with ``octet_length <= max_line_size``.
 
-    Pure-JVM implementation: slice the first ``max_line_size`` bytes in
-    the binary domain, then back off a partial trailing codepoint by
-    probing the (at most 4) final bytes with hex() — a UTF-8 sequence is
-    one lead byte plus 0-3 continuation bytes (0x80..0xBF), so the cut
-    keeps the slice iff the trailing sequence is complete, else drops
-    it.  The input is a valid-UTF-8 Spark string, so the boundary-valid
-    byte slice casts back to string without validation concerns.  All
-    probes are constant-position one-byte slices; the whole expression
-    sits behind the oversize CASE guard, so in-budget lines (the ~100%
-    case) pay one octet_length scan.
+    Pure-JVM implementation: examine the 4-byte tail of the m-byte cut
+    in the hex domain — a UTF-8 sequence is one lead byte plus 0-3
+    continuation bytes (0x80..0xBF, hex first-nibble 8/9/A/B), so ONE
+    anchored regexp over the 8-char tail hex yields the trailing
+    continuation-run length, and the cut keeps the full slice iff that
+    final sequence is complete (lead-byte class length == run + 1), else
+    drops it.  The input is a valid-UTF-8 Spark string, so the
+    boundary-valid byte slice casts back to string without validation
+    concerns.  Expression size matters here: ``line`` is referenced
+    exactly 3× (guard, tail, final slice) — filter pushdown substitutes
+    project aliases transitively, so a chatty variant (an earlier
+    3-probe cascade referenced ``line`` 6×) blows past janino's 64 KB
+    method limit once parse_ok lands in a scan's DataFilters.  The whole
+    expression sits behind the oversize CASE guard, so in-budget lines
+    (the ~100% case) pay one octet_length scan.
     """
     if max_line_size < 4:
         raise ValueError("max_line_size must be >= 4 (one UTF-8 codepoint)")
     m = max_line_size
-    cut = F.substring(line.cast("binary"), 1, m)
-
-    def hx(p: int) -> Column:
-        return F.hex(F.substring(cut, p, 1))
-
-    def is_cont(h: Column) -> Column:
-        return (h >= "80") & (h <= "BF")
-
-    # trailing continuation-byte run length (0..3; valid UTF-8 never has 4)
+    # 4-byte tail of the would-be cut (bytes m-3..m), as 8 hex chars
+    tail = F.hex(F.substring(line.cast("binary"), m - 3, 4))
+    # trailing continuation-byte run length (0..3; valid UTF-8 never has
+    # 4) — the regex consumes whole hex pairs anchored at the end, so
+    # byte alignment is preserved
     t = (
-        F.when(~is_cont(hx(m)), F.lit(0))
-        .when(~is_cont(hx(m - 1)), F.lit(1))
-        .when(~is_cont(hx(m - 2)), F.lit(2))
-        .otherwise(F.lit(3))
-    )
-    lead = F.hex(F.substring(cut, F.lit(m) - t, F.lit(1)))
+        F.length(F.regexp_extract(tail, "((?:[89AB][0-9A-F]){0,3})$", 1)) / 2
+    ).cast("int")
+    # the lead byte of the final sequence = byte m-t, at tail offset 3-t
+    lead = F.substring(tail, (F.lit(3) - t) * 2 + 1, 2)
     seq_len = (
         F.when(lead < "80", F.lit(1))        # ASCII
         .when((lead >= "C0") & (lead <= "DF"), F.lit(2))
         .when((lead >= "E0") & (lead <= "EF"), F.lit(3))
         .when(lead >= "F0", F.lit(4))
-        .otherwise(F.lit(1))
+        .otherwise(F.lit(1))                 # defensive: invalid input
     )
     keep = F.when(seq_len == t + 1, F.lit(m)).otherwise(F.lit(m) - t - 1)
     exact = F.substring(line.cast("binary"), F.lit(1), keep).cast("string")

@@ -38,12 +38,17 @@ PARSED_COLUMNS = [
 FAILURE_REASONS = [
     "empty_line", "missing_fields", "bad_timestamp", "bad_level", "bad_path",
 ]
+#: sink-side reasons (produced by the sink adapter, not the parser) —
+#: the retryable branch of the reference taxonomy (pool.rs:165-313)
+SINK_FAILURE_REASONS = ["sink_unavailable"]
+ALL_FAILURE_REASONS = FAILURE_REASONS + SINK_FAILURE_REASONS
 FAILURE_CLASSES = {
     "empty_line": "schema",
     "missing_fields": "schema",
     "bad_timestamp": "schema",
     "bad_level": "schema",
     "bad_path": "schema",
+    "sink_unavailable": "transient",
 }
 
 

@@ -378,6 +378,57 @@ def pipe_batch_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_hist_sql() -> str:
+    """A2: per-sink batch-size distribution (collector.rs:72-77 buckets
+    batch sizes 1..5000; here the routed stream is chunked per (sink,
+    day) at bulk_size=300 and the size distribution is aggregated per
+    sink).  Percentiles are rank-exact (value at ceil(n*p), i.e.
+    percentile_disc) — deterministic integers, no interpolation, so the
+    Spark and DuckDB answers are bit-identical.  Dialect-shared text;
+    windows are partitioned by (sink, day) so nothing funnels through a
+    single task at scale."""
+    case = routes_case_sql("src", "lvl")
+    return f"""
+    WITH tagged AS (
+      SELECT {_SOURCE_FROM_EVENT} AS src, {_LEVEL_FROM_EVENT} AS lvl,
+             event_id, CAST(ts AS DATE) AS d
+      FROM events),
+    routed AS (
+      SELECT {case} AS sink_id, d, event_id FROM tagged),
+    numbered AS (
+      SELECT sink_id, d,
+             row_number() OVER (PARTITION BY sink_id, d ORDER BY event_id) AS rn
+      FROM routed),
+    batches AS (
+      SELECT sink_id, d, CAST(floor((rn - 1) / 300.0) AS BIGINT) AS batch_no,
+             count(*) AS sz
+      FROM numbered GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT sink_id, sz,
+             row_number() OVER (PARTITION BY sink_id ORDER BY sz, d, batch_no) AS r,
+             count(*) OVER (PARTITION BY sink_id) AS n_b
+      FROM batches)
+    SELECT sink_id,
+           max(n_b) AS n_batches,
+           min(sz) AS min_batch,
+           max(sz) AS max_batch,
+           max(CASE WHEN r = CAST(ceil(n_b * 0.50) AS BIGINT) THEN sz END) AS p50_batch,
+           max(CASE WHEN r = CAST(ceil(n_b * 0.95) AS BIGINT) THEN sz END) AS p95_batch,
+           CAST(sum(CASE WHEN sz <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_le_100,
+           CAST(sum(CASE WHEN sz > 100 AND sz <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_le_200,
+           CAST(sum(CASE WHEN sz > 200 THEN 1 ELSE 0 END) AS BIGINT) AS bucket_gt_200
+    FROM ranked GROUP BY sink_id
+    """
+
+
+@register("pipe_batch_size_hist", _batch_hist_sql())
+def pipe_batch_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: batch-size histogram parity — the reference's
+    ``batch_size_buckets`` gauge (collector.rs:72-77) as per-sink
+    count/min/max/p50/p95 plus bucket counts over the chunked stream."""
+    return _sql(spark, sf_dir, _batch_hist_sql(), ["events"])
+
+
 _CONSERVATION_CLASS = """
 CASE WHEN k IS NULL THEN 'missing_field'
      WHEN k >= 90 THEN 'out_of_range'
@@ -768,6 +819,153 @@ def streaming_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("token_total").cast("bigint").alias("token_total"),
         F.sum("byte_total").cast("bigint").alias("byte_total"),
     )
+
+
+# --- transient sink failure → DLQ → redrive recovery, oracle-gated ----------
+
+
+@register("pipe_transient_redrive", _flagship_oracle())
+def pipe_transient_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transient failure class (reference pool.rs:165-313 +
+    retry loop pool.rs:358-470): the REAL batch pipeline runs with a
+    fault-injected sink ('logs-ingress' rejects every delivery attempt
+    0), so all its parse-clean rows are quarantined with reason
+    'sink_unavailable' / class 'transient'; one redrive pass then
+    re-presents them at attempt 1, the sink has 'recovered', and they
+    flow through enrich+route into a redrive batch dir.  The gate
+    aggregates ALL routed output (original + redrive batches) per sink —
+    the oracle is the no-fault flagship answer, so the check proves the
+    transient detour is lossless and duplicate-free: quarantine + retry
+    delivered exactly the rows a healthy sink would have."""
+    import tempfile
+
+    from logfowd2_spark.codec import encode_line_sql
+    from logfowd2_spark.config import PipelineConfig
+    from logfowd2_spark.streaming.dlq import redrive_pass
+    from logfowd2_spark.streaming.pipeline import (
+        execute_unified_batch,
+        read_routed,
+    )
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    lines = spark.sql(_LINE_SPARK)
+    seq = lines.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        encode_line_sql(F.col("line")).alias("tokens"),
+        F.col("src").alias("source"),
+    ).withColumn("n_tok", F.size("tokens"))
+
+    root = tempfile.mkdtemp(prefix="logfowd2-transq-")
+    cfg = PipelineConfig(
+        input_path=root,  # unused: the batch DF is passed directly
+        output_path=f"{root}/out",
+        checkpoint_path=f"{root}/ckpt",
+        codec="jvm",
+        sink_fault_sink="logs-ingress",
+        sink_fault_until_retry=1,
+    )
+    pods = spark.createDataFrame(
+        [("pid-none", "node-0", "deployment", "{}")],
+        "pod_id string, node string, workload_kind string, labels_json string",
+    )
+    execute_unified_batch(
+        seq.select("doc_id", "tokens", "n_tok", "source"), pods, cfg,
+        "batch-00000",
+    )
+    redrive_pass(spark, cfg, pods, 0)
+    routed = read_routed(spark, cfg)
+    return routed.groupBy("sink_id").agg(
+        F.count("*").alias("event_count"),
+        F.sum("n_tok").cast("bigint").alias("token_total"),
+        F.sum("byte_len").cast("bigint").alias("byte_total"),
+    )
+
+
+# --- streaming late data: watermarked windows, oracle-gated -----------------
+
+_LATE_WIN_ORACLE = """
+WITH ontime AS (
+  SELECT event_type, ts FROM events WHERE event_id % 10 <> 0
+), m AS (
+  SELECT max(ts) AS mx FROM ontime
+)
+SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, count(*) AS n
+FROM ontime, m
+WHERE time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= mx - INTERVAL 2 DAY
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_windowed_counts", _LATE_WIN_ORACLE)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics of the watermarked tumbling window, gated
+    against a CLOSED-FORM batch answer.  The stream reads three files in
+    a forced order (mtime + name, maxFilesPerTrigger=1): two on-time
+    files (90% of events), then a 'straggler' file whose rows are the
+    same events shifted 60 days into the past.  Spark's late-row filter
+    uses the watermark with a ONE-BATCH propagation lag (the filter
+    watermark of batch N is the eviction watermark of batch N−1, i.e.
+    event-time stats through batch N−2 — verified empirically: a
+    straggler file in batch 1 is admitted and emitted, in batch 2 it is
+    dropped with numRowsDroppedByWatermark counting it), hence the
+    middle buffer file: by batch 2 the filter watermark is
+    max(on-time ts) − 2 days and every straggler row is DROPPED, while
+    append mode emits exactly the windows whose end ≤ final watermark.
+    The oracle re-states that contract in SQL: on-time rows only,
+    windows with end ≤ max(ts) − 2 days.  The delta vs the all-data
+    batch answer (late rows + the still-open last windows) is the
+    documented late-drop loss (reference B2's flush semantics upgraded
+    to event time, sender.rs:40-55)."""
+    import os
+    import shutil
+    import tempfile
+    from glob import glob
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    on_time = ev.filter("event_id % 10 > 1").select("event_id", "event_type", "ts")
+    buffer_b = ev.filter("event_id % 10 = 1").select("event_id", "event_type", "ts")
+    late = ev.filter("event_id % 10 = 0").select(
+        "event_id", "event_type",
+        (F.col("ts") - F.expr("INTERVAL 60 DAYS")).alias("ts"),
+    )
+
+    root = tempfile.mkdtemp(prefix="logfowd2-latewin-")
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    for i, df in enumerate([on_time, buffer_b, late]):
+        tmp = f"{root}/tmp{i}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_win_gate")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql("SELECT window_start, event_type, n FROM late_win_gate")
 
 
 # import sibling modules for their @register side effects (kept at the

@@ -112,7 +112,16 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
 
     Delivery contract: at-least-once per generation, like the reference
     (a crash between the new-generation write and the old-dir removal
-    re-presents rows on the next pass).  Re-running the SAME generation
+    re-presents rows on the next pass).
+
+    Plan note: the good/still_bad filters reference ``parse_ok``, and
+    filter pushdown substitutes the full parse expression (sanitize +
+    truncate + split) into the scan's DataFilters — large enough that
+    janino may refuse the generated method and Spark falls back to
+    interpreted evaluation for this stage.  That is accepted here: the
+    redrive input is bounded by ``dlq_max_size`` (default 10k rows), so
+    interpreted evaluation is noise; the HOT path (the unified batch
+    write) has no parse_ok filter at all and stays fully codegen'd.  Re-running the SAME generation
     number after a crash is idempotent: any partial ``redrive-N`` output
     of the crashed attempt is discarded up front — its rows derive
     entirely from the old generations, which are still present (they are
@@ -122,7 +131,11 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     """
     from logfowd2_spark.operators.enrich import enrich_stage  # noqa: PLC0415
     from logfowd2_spark.operators.parse import parse_lines  # noqa: PLC0415
-    from logfowd2_spark.operators.route import route_stage, write_routed  # noqa: PLC0415
+    from logfowd2_spark.operators.route import (  # noqa: PLC0415
+        route_expr,
+        route_stage,
+        write_routed,
+    )
 
     tag = f"redrive-{generation:05d}"
     dlq_path = os.path.join(cfg.output_path, "parse_failures")
@@ -142,11 +155,29 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
                         "retry_count"),
         cfg,
     )
-    good = reparsed.filter(F.col("parse_ok")).drop(
-        "parse_ok", "failure_reason", "retry_count"
+    # sink-side transient check at delivery attempt = retry_count + 1
+    # (attempt 0 was the original batch): a parse-clean row whose sink is
+    # still rejecting goes back to the quarantine as 'sink_unavailable';
+    # once attempt >= until_retry the sink has 'recovered' and the row is
+    # genuinely delivered (reference retry loop, pool.rs:358-470)
+    if cfg.sink_fault_sink is not None:
+        prospective = route_expr(cfg.routes, F.col("source"), F.col("level"),
+                                 cfg.default_sink)
+        fault_hit = (
+            F.col("parse_ok")
+            & (prospective == cfg.sink_fault_sink)
+            & (F.col("retry_count") + 1 < cfg.sink_fault_until_retry)
+        )
+    else:
+        fault_hit = F.lit(False)
+    reparsed = reparsed.withColumn("_fault", fault_hit)
+    good = reparsed.filter(F.col("parse_ok") & ~F.col("_fault")).drop(
+        "parse_ok", "failure_reason", "retry_count", "_fault"
     )
-    still_bad = reparsed.filter(~F.col("parse_ok")).select(
-        "doc_id", "source", F.col("line").alias("raw_line"), "failure_reason",
+    still_bad = reparsed.filter(~F.col("parse_ok") | F.col("_fault")).select(
+        "doc_id", "source", F.col("line").alias("raw_line"),
+        F.when(F.col("_fault"), F.lit("sink_unavailable"))
+        .otherwise(F.col("failure_reason")).alias("failure_reason"),
         (F.col("retry_count") + 1).alias("retry_count"),
     )
 

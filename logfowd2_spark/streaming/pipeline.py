@@ -123,21 +123,34 @@ def transform_batch_unified(df: DataFrame, pods: DataFrame,
     parsed = parse_stage(df, cfg)
     enriched = enrich_stage(parsed, pods)
     ok = F.col("parse_ok")
+    sink0 = route_expr(cfg.routes, F.col("source"), F.col("level"),
+                       cfg.default_sink)
+    # sink fault injection (the transient branch of the reference's
+    # error taxonomy, pool.rs:165-313): a parse-clean row whose sink is
+    # currently rejecting is quarantined with class 'transient' instead
+    # of delivered — attempt number 0 here, so the fault fires whenever
+    # until_retry >= 1; the redrive pass re-checks with attempt =
+    # retry_count + 1 and genuinely delivers once the sink 'recovers'.
+    if cfg.sink_fault_sink is not None and cfg.sink_fault_until_retry > 0:
+        faulted = ok & (sink0 == cfg.sink_fault_sink)
+    else:
+        faulted = F.lit(False)
+    deliver = ok & ~faulted
     out = enriched.withColumns(
         {
-            "sink_id": F.when(
-                ok, route_expr(cfg.routes, F.col("source"), F.col("level"),
-                               cfg.default_sink)
-            ).otherwise(F.lit(DLQ_SINK)),
-            "log_date": F.when(ok, F.to_date("ts")).otherwise(
+            "failure_reason": F.when(
+                faulted, F.lit("sink_unavailable")
+            ).otherwise(F.col("failure_reason")),
+            "sink_id": F.when(deliver, sink0).otherwise(F.lit(DLQ_SINK)),
+            "log_date": F.when(deliver, F.to_date("ts")).otherwise(
                 F.to_date(F.lit(DLQ_DATE))
             ),
             # quarantined rows keep their raw line for the redrive pass;
             # good rows drop it (derivable from tokens)
-            "raw_line": F.when(ok, F.lit(None).cast("string")).otherwise(
+            "raw_line": F.when(deliver, F.lit(None).cast("string")).otherwise(
                 F.col("line")
             ),
-            "retry_count": F.when(ok, F.lit(None).cast("int")).otherwise(
+            "retry_count": F.when(deliver, F.lit(None).cast("int")).otherwise(
                 F.lit(0)
             ),
         }
@@ -155,7 +168,7 @@ def _observe_exprs(sinks: list[str]) -> list:
     """Per-sink conditional aggregates for ``df.observe`` — the sink set
     is config-sized, so the CollectMetrics row stays tiny (3 values per
     sink + 1 per failure class) regardless of data scale."""
-    from logfowd2_spark.operators.parse import FAILURE_REASONS  # noqa: PLC0415
+    from logfowd2_spark.operators.parse import ALL_FAILURE_REASONS  # noqa: PLC0415
 
     exprs = [F.count(F.lit(1)).alias("rows_in")]
     for i, s in enumerate(sinks):
@@ -166,8 +179,9 @@ def _observe_exprs(sinks: list[str]) -> list:
             F.sum(F.when(hit, F.col("byte_len"))).alias(f"b{i}"),
         ]
     # per-failure-reason counts (the reference's typed error counters,
-    # collector.rs errors_total{type=...} ≈ error.rs classes)
-    for j, r in enumerate(FAILURE_REASONS):
+    # collector.rs errors_total{type=...} ≈ error.rs classes) — parse
+    # reasons plus the sink-adapter's transient reasons
+    for j, r in enumerate(ALL_FAILURE_REASONS):
         exprs.append(
             F.sum(
                 F.when(
@@ -303,11 +317,12 @@ def execute_unified_batch(
     _write_stats_pyarrow(stats_dir, agg)
     sink_counts = {k: v["event_count"] for k, v in agg.items()}
 
-    from logfowd2_spark.operators.parse import FAILURE_REASONS  # noqa: PLC0415
+    from logfowd2_spark.operators.parse import ALL_FAILURE_REASONS  # noqa: PLC0415
 
     n_failed = dlq_stats_row["event_count"] if dlq_stats_row else 0
     failure_counts = {
-        r: int(vals.get(f"f{j}") or 0) for j, r in enumerate(FAILURE_REASONS)
+        r: int(vals.get(f"f{j}") or 0)
+        for j, r in enumerate(ALL_FAILURE_REASONS)
     }
     failure_counts = {r: n for r, n in failure_counts.items() if n}
     other = n_failed - sum(failure_counts.values())

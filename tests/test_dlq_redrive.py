@@ -79,3 +79,59 @@ def test_redrive_recovers_transient_failure(spark, ran):
           for r in dlq_reason_stats(spark, dlq_path).collect()}
     assert sum(n for _c, n in rs.values()) == n_fail
     assert all(c == "schema" for _r, (c, _n) in rs.items())
+
+
+def test_sink_fault_transient_recovery(spark, tmp_path):
+    """End-to-end transient class (reference pool.rs:165-313 + retry
+    loop pool.rs:358-470): with a fault-injected sink that recovers at
+    attempt 2, the initial batch quarantines the sink's rows as
+    'sink_unavailable' (class transient), the first redrive re-presents
+    and REQUEUES them (attempt 1 still faulted, retry_count → 1), and
+    the second redrive genuinely delivers them — routed output ends up
+    with exactly the rows a healthy sink would have received."""
+    from logfowd2_spark.streaming.dlq import dlq_reason_stats
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=400, seed=13,
+                                n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_fault_sink="logs-ingress",
+        sink_fault_until_retry=2,
+    )
+    m = run_pipeline(spark, cfg, paths["pods"], paths["routes"])
+    cfg.routes = load_routes(spark, paths["routes"])
+    pods = spark.read.parquet(paths["pods"])
+    total = sum(b.rows_in for b in m)
+    n_transient = sum(b.failure_counts.get("sink_unavailable", 0) for b in m)
+    n_schema = sum(
+        n for b in m for r, n in b.failure_counts.items()
+        if r != "sink_unavailable"
+    )
+    assert n_transient > 0
+    # conservation incl. the quarantined transient rows
+    assert sum(b.rows_routed for b in m) + n_transient + n_schema == total
+
+    routed_dir = os.path.join(cfg.output_path, "routed")
+    dlq_path = os.path.join(cfg.output_path, "parse_failures")
+    routed = spark.read.parquet(routed_dir)
+    assert routed.filter(F.col("sink_id") == "logs-ingress").count() == 0
+
+    rs = {r["failure_reason"]: (r["failure_class"], r["n"])
+          for r in dlq_reason_stats(spark, dlq_path).collect()}
+    assert rs["sink_unavailable"] == ("transient", n_transient)
+
+    # attempt 1: sink still down — transient rows requeued, count bumped
+    r1 = redrive_pass(spark, cfg, pods, generation=1)
+    assert r1["recovered"] == 0
+    assert r1["requeued"] == n_transient + n_schema
+    # attempt 2: sink recovered — every transient row delivered
+    r2 = redrive_pass(spark, cfg, pods, generation=2)
+    assert r2["recovered"] == n_transient
+    got = spark.read.parquet(routed_dir) \
+        .filter(F.col("sink_id") == "logs-ingress").count()
+    assert got == n_transient
+    left = {r["failure_reason"]: r["n"]
+            for r in dlq_reason_stats(spark, dlq_path).collect()}
+    assert "sink_unavailable" not in left
