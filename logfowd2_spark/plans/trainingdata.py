@@ -317,10 +317,27 @@ _SCRATCH_ROOT = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/logfowd2_scratch")
 
 def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     app = spark.sparkContext.applicationId
-    # entries from other (dead) sessions can never be reused — drop them
+    # entries from other (dead) sessions can never be reused — drop them,
+    # and garbage-collect those sessions' on-disk scratch subtrees too
+    # (without this every new session leaks its predecessor's written
+    # shingle/signature tables until the disk fills)
     for cache in (_SHINGLE_CACHE, _SIG_CACHE):
         for k in [k for k in cache if k[0] != app]:
             del cache[k]
+    if os.path.isdir(_SCRATCH_ROOT):
+        import shutil as _shutil  # noqa: PLC0415
+        import time as _time  # noqa: PLC0415
+
+        for name in os.listdir(_SCRATCH_ROOT):
+            full = os.path.join(_SCRATCH_ROOT, name)
+            try:
+                stale = _time.time() - os.path.getmtime(full) > 3600
+            except OSError:
+                continue
+            # age guard: a CONCURRENT session's scratch is hot (mtime
+            # minutes old) — only reap subtrees idle for over an hour
+            if name != app and stale:
+                _shutil.rmtree(full, ignore_errors=True)
     return (app, sf_dir)
 
 

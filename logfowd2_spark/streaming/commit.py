@@ -172,13 +172,15 @@ class PutCommitter:
     def swap(self, live: str, staged: str) -> None:
         canonical = stage_path(live)
         if os.path.abspath(staged) != os.path.abspath(canonical):
-            # adopt the caller's staging dir under the canonical name
-            # (puts + deletes, never a rename)
-            self._delete_tree(canonical)
-            for rel in _list_files(staged):
-                self._put_copy(os.path.join(staged, rel),
-                               os.path.join(canonical, rel))
-            self._delete_tree(staged)
+            # a foreign stage would need adopting under the canonical
+            # name BEFORE the marker exists — a crash mid-adoption
+            # strands the only copy in an unmarked stage that recover()
+            # discards.  No caller stages anywhere else; refuse instead
+            # of carrying an unprotected window.
+            raise ValueError(
+                f"PutCommitter.swap requires staging at stage_path(live) "
+                f"({canonical!r}); got {staged!r}"
+            )
         files = [f for f in _list_files(canonical) if f != self.MARKER]
         self._put_bytes(
             os.path.join(canonical, self.MARKER),

@@ -137,12 +137,31 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
         write_routed,
     )
 
+    import json  # noqa: PLC0415
+
     tag = f"redrive-{generation:05d}"
     dlq_path = os.path.join(cfg.output_path, "parse_failures")
-    # crash-rerun idempotence: drop this generation's own partial output
-    # BEFORE listing/reading, so it is never both source and sink
-    shutil.rmtree(os.path.join(dlq_path, f"batch_id={tag}"),
-                  ignore_errors=True)
+    new_dir = os.path.join(dlq_path, f"batch_id={tag}")
+    marker = os.path.join(new_dir, "_COMMITTED.json")
+    # heal any interrupted boundary trim FIRST: in the trim crash window
+    # both the original and its trim-<orig> replacement exist, and a
+    # naive read would re-drive the straddling file's rows twice
+    _recover_trims(dlq_path)
+    if os.path.exists(marker):
+        # a prior attempt of THIS generation fully committed (marker is
+        # written after all three writes) but crashed mid-removal of the
+        # consumed input dirs: resume the removal and return the recorded
+        # counts — rebuilding would read the new generation as input
+        with open(marker) as fh:
+            result = json.load(fh)
+        for d in _dlq_batch_dirs(dlq_path):
+            if os.path.abspath(d) != os.path.abspath(new_dir):
+                shutil.rmtree(d, ignore_errors=True)
+        return result
+    # crash-rerun idempotence: drop this generation's own UNCOMMITTED
+    # partial output BEFORE listing/reading, so it is never both source
+    # and sink (its rows derive entirely from the still-present inputs)
+    shutil.rmtree(new_dir, ignore_errors=True)
     old_dirs = _dlq_batch_dirs(dlq_path)
     df = read_dlq(spark, dlq_path)
     eligible = df.filter(F.col("retry_count") < cfg.dlq_max_retry_count)
@@ -199,7 +218,6 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     # new DLQ generation: requeued + permanently-failed rows, written
     # distributed into a fresh batch_id dir (created after the source
     # listing, so the reads above never see it)
-    new_dir = os.path.join(dlq_path, f"batch_id={tag}")
     rq_obs, pf_obs = Observation(), Observation()
     (
         still_bad.observe(rq_obs, F.count(F.lit(1)).alias("n"))
@@ -212,13 +230,26 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     )
     n_requeued = _obs_n(rq_obs)
     n_dropped = _obs_n(pf_obs)
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
-    return {
+    result = {
         "recovered": n_recovered,
         "requeued": n_requeued,
         "permanently_failed": n_dropped,
     }
+    # commit point: the marker (underscore-prefixed — invisible to Spark
+    # and to the footer walks) records that every write of this
+    # generation completed, so a rerun RESUMES the input removal instead
+    # of rebuilding from a partially-deleted input set (which would lose
+    # the already-removed generations' rows).  A crash between marker
+    # and removals followed by a pass at a NEW generation number
+    # re-presents the old rows — the documented at-least-once contract.
+    os.makedirs(new_dir, exist_ok=True)
+    tmp_marker = os.path.join(new_dir, "._COMMITTED.tmp")
+    with open(tmp_marker, "w") as fh:
+        json.dump(result, fh)
+    os.replace(tmp_marker, marker)
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return result
 
 
 _TRIM_PREFIX = "trim-"
@@ -260,7 +291,11 @@ def _recover_trims(dlq_path: str) -> None:
         return
     for d in _dlq_batch_dirs(dlq_path):
         for fn in os.listdir(d):
-            if fn.startswith(_TRIM_PREFIX):
+            if fn.startswith("." + _TRIM_PREFIX):
+                # half-copied temp from a crash mid-publish: never
+                # became the committed trim file, safe to discard
+                os.remove(os.path.join(d, fn))
+            elif fn.startswith(_TRIM_PREFIX):
                 orig = os.path.join(d, fn[len(_TRIM_PREFIX):])
                 if os.path.exists(orig):
                     os.remove(orig)
@@ -273,9 +308,9 @@ def _generation_age_key(d: str):
     """Drop-oldest order across mixed tag prefixes (batch-*/stream-*/
     redrive-*): lexicographic names would always sacrifice 'batch-*'
     generations first regardless of real age, so age is the oldest data
-    file's mtime (a generation is written once; a later boundary trim
-    rewrites at most one file, which cannot lower the min), with the
-    dir name as the deterministic tiebreak."""
+    file's mtime (a generation is written once; a boundary trim rewrites
+    at most one file and PRESERVES its mtime via os.utime, so the min
+    is stable), with the dir name as the deterministic tiebreak."""
     mtimes = [
         os.path.getmtime(os.path.join(d, fn))
         for fn in os.listdir(d)
@@ -348,11 +383,26 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
                 if fn.endswith(".parquet")
             )
             trimmed = os.path.join(d, _TRIM_PREFIX + os.path.basename(path))
-            # put-then-delete ordering: replacement visible first, the
-            # original's deletion is the commit (see _recover_trims)
+            # publish the replacement ATOMICALLY: copy to a dot-hidden
+            # temp (invisible to Spark, the footer walks, and
+            # _recover_trims) and os.replace into the trim-<orig> name —
+            # a half-copied trim file must never exist under that name,
+            # because _recover_trims treats its presence as committed
+            # intent and deletes the original (the object-store analogue
+            # is a single-object PUT, atomic by contract).  Then
+            # put-then-delete: replacement whole and visible first, the
+            # original's deletion is the commit (see _recover_trims).
+            orig_mtime = os.path.getmtime(path)
+            tmp = os.path.join(d, "." + _TRIM_PREFIX + "tmp")
             with open(os.path.join(stage, part), "rb") as fi, \
-                    open(trimmed, "wb") as fo:
+                    open(tmp, "wb") as fo:
                 shutil.copyfileobj(fi, fo)
+            # keep the original file's mtime: generation age (drop-oldest
+            # order) is derived from file mtimes, and a fresh timestamp
+            # on the trimmed survivor would make this OLDEST generation
+            # look newest, inverting FIFO on the next enforcement
+            os.utime(tmp, (orig_mtime, orig_mtime))
+            os.replace(tmp, trimmed)
             os.remove(path)
             shutil.rmtree(stage, ignore_errors=True)
             acc = overflow

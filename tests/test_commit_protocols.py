@@ -36,7 +36,12 @@ def _read_all(d):
 
 @pytest.mark.parametrize("proto", ["rename", "put"])
 def test_swap_replaces_contents(tmp_path, proto):
-    live, staged = str(tmp_path / "t"), str(tmp_path / "stage")
+    # callers stage at stage_path(live) — the canonical Spark-invisible
+    # name; PutCommitter REFUSES foreign stage dirs (adopting one would
+    # open a window where the only copy sits in an unmarked stage that
+    # recover() discards)
+    live = str(tmp_path / "t")
+    staged = stage_path(live)
     _mk_files(live, {"a.parquet": "old"})
     _mk_files(staged, {"b.parquet": "new"})
     get_committer(proto).swap(live, staged)
@@ -44,6 +49,17 @@ def test_swap_replaces_contents(tmp_path, proto):
     assert not os.path.exists(staged)
     # no transient dirs left behind
     assert sorted(os.listdir(tmp_path)) == ["t"]
+
+
+def test_put_swap_refuses_foreign_stage(tmp_path):
+    live, staged = str(tmp_path / "t"), str(tmp_path / "elsewhere")
+    _mk_files(live, {"a.parquet": "old"})
+    _mk_files(staged, {"b.parquet": "new"})
+    with pytest.raises(ValueError, match="stage_path"):
+        get_committer("put").swap(live, staged)
+    # nothing was touched
+    assert _read_all(live) == {"a.parquet": "old"}
+    assert _read_all(staged) == {"b.parquet": "new"}
 
 
 def test_rename_recover_restores_original(tmp_path):

@@ -81,6 +81,49 @@ def test_redrive_recovers_transient_failure(spark, ran):
     assert all(c == "schema" for _r, (c, _n) in rs.items())
 
 
+def test_redrive_rerun_resumes_committed_generation(spark, tmp_path):
+    """Crash-after-commit rerun: once a generation's _COMMITTED.json
+    marker exists (written after all three writes), a rerun of the SAME
+    generation must NOT rebuild — the consumed inputs may be partially
+    deleted, so rebuilding would lose the already-removed generations'
+    rows.  It resumes the input removal and returns the recorded
+    counts."""
+    import json
+
+    from logfowd2_spark.streaming.dlq import (
+        _dlq_batch_dirs,
+        read_dlq,
+        write_dlq,
+    )
+
+    cfg = PipelineConfig(
+        input_path=str(tmp_path / "unused"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    dlq_path = os.path.join(cfg.output_path, "parse_failures")
+    mk = lambda i: spark.createDataFrame(  # noqa: E731
+        [(f"doc-{i}", "app", "bad line", "missing_fields", 0)],
+        "doc_id string, source string, raw_line string, "
+        "failure_reason string, retry_count int",
+    )
+    # two consumed-input generations still on disk (crash mid-removal)
+    write_dlq(mk(0), dlq_path, "batch-00000")
+    write_dlq(mk(1), dlq_path, "batch-00001")
+    # the committed redrive generation: data + marker
+    write_dlq(mk(2), dlq_path, "redrive-00001")
+    new_dir = os.path.join(dlq_path, "batch_id=redrive-00001")
+    recorded = {"recovered": 5, "requeued": 1, "permanently_failed": 0}
+    with open(os.path.join(new_dir, "_COMMITTED.json"), "w") as fh:
+        json.dump(recorded, fh)
+
+    res = redrive_pass(spark, cfg, pods=None, generation=1)
+    assert res == recorded                      # no rebuild — recorded counts
+    assert _dlq_batch_dirs(dlq_path) == [new_dir]  # inputs removed
+    rows = read_dlq(spark, dlq_path).collect()  # committed rows intact
+    assert [r["doc_id"] for r in rows] == ["doc-2"]
+
+
 def test_sink_fault_transient_recovery(spark, tmp_path):
     """End-to-end transient class (reference pool.rs:165-313 + retry
     loop pool.rs:358-470): with a fault-injected sink that recovers at

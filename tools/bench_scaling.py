@@ -88,8 +88,12 @@ def main() -> None:
     from bench import ensure_pipe_data
 
     data_dir = ensure_pipe_data(n_rows)
-    r_low = run_level(low, data_dir)
+    # high level first: it needs `high` free cores on a shared-host VM,
+    # so it is the contention-sensitive leg — give it the idle window
+    # the caller (hopefully) launched us into; the low level tolerates
+    # co-tenant load up to ~(32 - low) cores
     r_high = run_level(high, data_dir)
+    r_low = run_level(low, data_dir)
 
     assert r_low["sink_counts"] == r_high["sink_counts"], (
         "per-sink counts differ across parallelism levels!"
