@@ -12,6 +12,7 @@ import sys
 
 from logfowd2_spark.config import PipelineConfig
 from logfowd2_spark.session import build_session
+from logfowd2_spark.streaming.metrics import RuntimeGauges
 from logfowd2_spark.streaming.pipeline import run_pipeline
 
 
@@ -42,9 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(master=args.master,
                           shuffle_partitions=cfg.shuffle_partitions)
     try:
+        gauges = RuntimeGauges()
         metrics = run_pipeline(
             spark, cfg, args.pods, args.routes,
             files_per_batch=args.files_per_batch,
+            gauges=gauges,
         )
         for m in metrics:
             print(json.dumps({
@@ -55,7 +58,12 @@ def main(argv: list[str] | None = None) -> int:
                 "sink_counts": m.sink_counts,
                 "conservation_ok": m.conservation_ok(),
             }))
-        print(json.dumps({"batches_run": len(metrics)}))
+        print(json.dumps({
+            "batches_run": len(metrics),
+            # A6 runtime gauges (reference NetworkStats, pool.rs:63-121)
+            "ema_batch_ms": round(gauges.ema_batch_ms, 1),
+            "adaptive_timeout_ms": round(gauges.adaptive_timeout_ms(), 1),
+        }))
     finally:
         spark.stop()
     return 0

@@ -101,6 +101,73 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII redaction -----------------------------------------------------------------
+
+# patterns are backslash-free ([.] and [0-9] instead of \. and \d) so the
+# IDENTICAL text is valid in Spark SQL (java.util.regex, backslashes need
+# doubling in literals) and DuckDB (RE2) — no dialect split to drift
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+# deterministic PII seeding (documents are synthetic clean words): 2 of 3
+# docs get an email + ip + phone appended; every 3rd passes through
+# untouched, gating the no-op path too
+_PII_LINE_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN text ELSE concat(text,"
+    " ' email=user', CAST(doc_id AS STRING), '@example.com"
+    " ip=10.', CAST(doc_id % 200 AS STRING), '.0.', CAST(doc_id % 250 AS STRING),"
+    " ' phone=+1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) END"
+)
+_PII_LINE_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN text ELSE text ||"
+    " ' email=user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " ip=10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ||"
+    " ' phone=+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END"
+)
+
+_PII_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_PII_LINE_DUCK} AS line FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(line,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g')) AS redacted_fp,
+       len(regexp_extract_all(line, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(line, '{_PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(line, '{_PII_PHONE}')) AS n_phones
+FROM s
+"""
+
+
+@register("pii_redact", _PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: email/IPv4/phone patterns
+    redacted to typed placeholders, with per-class match counts (the
+    audit trail a redaction pass must emit).  Pure codegen projection —
+    three regexp_replace + three regexp_extract_all per row, no shuffle;
+    at 100 TB this runs at scan speed and column-prunes to (doc_id,
+    text).  Phone redaction runs BEFORE IPv4 so the 555-prefix digits
+    can't be half-claimed by the ip pattern (order pinned in both
+    dialects)."""
+    return _sql(
+        spark, sf_dir,
+        f"""
+        WITH s AS (SELECT doc_id, {_PII_LINE_SPARK} AS line FROM documents)
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(line,
+                   '{_PII_EMAIL}', '<EMAIL>'),
+                   '{_PII_PHONE}', '<PHONE>'),
+                   '{_PII_IPV4}', '<IP>')) AS redacted_fp,
+               size(regexp_extract_all(line, '{_PII_EMAIL}', 0)) AS n_emails,
+               size(regexp_extract_all(line, '{_PII_IPV4}', 0)) AS n_ips,
+               size(regexp_extract_all(line, '{_PII_PHONE}', 0)) AS n_phones
+        FROM s
+        """,
+        ["documents"],
+    )
+
+
 # --- quality scoring ---------------------------------------------------------------
 
 _QUALITY = {
@@ -540,6 +607,87 @@ def lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = _exploded_bands(_materialized_sig(spark, sf_dir))
     eb.createOrReplaceTempView("eb")
     return spark.sql(_VERIFY_OUT)
+
+
+# --- near-dup CLUSTERS: connected components over the verified pairs -------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {{shingles}},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ip AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+vp AS (
+  SELECT a_id, b_id FROM ip
+  JOIN cnt ca ON ca.doc_id = a_id
+  JOIN cnt cb ON cb.doc_id = b_id
+  WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}),
+edges AS (SELECT a_id AS s, b_id AS d FROM vp
+          UNION ALL SELECT b_id, a_id FROM vp),
+reach(src, dst) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges) t
+  UNION
+  SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.dst
+),
+lab AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+@register("lsh_dup_clusters",
+          _CLUSTER_ORACLE.format(shingles=_capped_shingles("duck")))
+def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH-verified
+    pair graph, so one canonical representative per duplicate group
+    survives dedup (pairs alone can't say which of {a,b},{b,c} to keep —
+    the component {a,b,c} can).  Engine: iterative min-label propagation
+    — label(x) ← min(label(x), min over neighbors' labels) to fixpoint —
+    each round one equi-join + map-side-combined groupBy, O(component
+    diameter) rounds (dup clusters are shallow: diameter ≤ 2-3 in
+    practice, and the round count is data-independent of corpus size).
+    At 100 TB each round's label table is docs-sized (tiny vs corpus)
+    and would be persisted per iteration; the convergence check is one
+    count per round.  Oracle: DuckDB recursive-CTE reachability with
+    min-reachable-id as the canonical label — an INDEPENDENT algorithm
+    (transitive closure) that must produce identical components."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
+    eb = _exploded_bands(_materialized_sig(spark, sf_dir))
+    eb.createOrReplaceTempView("eb")
+    pairs = spark.sql(_VERIFY_OUT).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    )
+    labels = (
+        edges.select(F.col("a_id").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(15):
+        cand = edges.join(labels, edges.a_id == labels.doc_id).select(
+            F.col("b_id").alias("doc_id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(cand)
+            .groupBy("doc_id").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.label <> o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+    )
 
 
 # --- similarity search (brute-force cosine top-k baseline) -----------------------------------

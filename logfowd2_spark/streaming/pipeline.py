@@ -49,7 +49,7 @@ from logfowd2_spark.streaming.checkpoint import (
     load_manifest,
     save_manifest,
 )
-from logfowd2_spark.streaming.metrics import BatchMetrics
+from logfowd2_spark.streaming.metrics import BatchMetrics, RuntimeGauges
 
 
 def _write_stats_pyarrow(stats_dir: str, agg: dict[str, dict[str, int]]) -> None:
@@ -360,9 +360,14 @@ def run_batch(
     cfg: PipelineConfig,
 ) -> BatchMetrics:
     """Execute one micro-batch end-to-end and return its metrics."""
+    import time  # noqa: PLC0415
+
+    t0 = time.perf_counter()
     df = spark.read.parquet(*files)
-    return execute_unified_batch(df, pods, cfg, batch_id,
-                                 rows_in_true=_parquet_num_rows(files))
+    m = execute_unified_batch(df, pods, cfg, batch_id,
+                              rows_in_true=_parquet_num_rows(files))
+    m.wall_ms = (time.perf_counter() - t0) * 1000.0
+    return m
 
 
 def run_pipeline(
@@ -372,6 +377,7 @@ def run_pipeline(
     routes_path: str,
     files_per_batch: int = 0,
     max_batches: int | None = None,
+    gauges: RuntimeGauges | None = None,
 ) -> list[BatchMetrics]:
     """Run all uncommitted batches; resume from the manifest.
 
@@ -414,6 +420,9 @@ def run_pipeline(
             save_manifest(man, manifest_path)
             continue
         m = run_batch(spark, batch_id, chunk, pods, cfg)
+        if gauges is not None:
+            # A6 gauges ride the driver loop (pool.rs:63-121 analogue)
+            gauges.observe(m.wall_ms)
         man.batches[batch_id] = BatchRecord(
             batch_id=batch_id,
             input_files=chunk,

@@ -37,3 +37,37 @@ def test_load_from_json(tmp_path, monkeypatch):
     # CFG_PATH env override (settings.rs:116)
     monkeypatch.setenv("CFG_PATH", str(p))
     assert PipelineConfig.load().max_line_size == 512
+
+
+def test_runtime_gauges_ema_and_adaptive_timeout():
+    """A6 parity: EMA smoothing is the reference's exact formula
+    (0.9*old + 0.1*new, pool.rs:63-82) seeded with the first sample, and
+    the adaptive timeout scales by failure streak (x1/x1.5/x2, capped at
+    120 s, pool.rs:94-121) with a 3x-EMA floor for slow-healthy sinks."""
+    from logfowd2_spark.streaming.metrics import RuntimeGauges
+
+    g = RuntimeGauges()
+    g.observe(1000.0)
+    assert g.ema_batch_ms == 1000.0          # first sample seeds
+    g.observe(2000.0)
+    assert g.ema_batch_ms == 0.9 * 1000.0 + 0.1 * 2000.0
+    assert g.consecutive_failures == 0
+    assert g.adaptive_timeout_ms() == 30_000.0
+
+    g.observe(1000.0, failed=True)
+    assert g.consecutive_failures == 1
+    assert g.adaptive_timeout_ms() == 45_000.0      # x1.5 streak 1-2
+    g.observe(1000.0, failed=True)
+    g.observe(1000.0, failed=True)
+    assert g.consecutive_failures == 3
+    assert g.adaptive_timeout_ms() == 60_000.0      # x2 streak >2
+    g.observe(1000.0)                               # success resets
+    assert g.consecutive_failures == 0
+
+    # slow-but-healthy: timeout never below 3x observed EMA, capped
+    g2 = RuntimeGauges()
+    g2.observe(50_000.0)
+    assert g2.adaptive_timeout_ms() == 120_000.0    # 3*50s capped at 120s
+    g3 = RuntimeGauges()
+    g3.observe(15_000.0)
+    assert g3.adaptive_timeout_ms() == 45_000.0     # 3*EMA floor > base

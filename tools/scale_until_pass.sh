@@ -11,10 +11,13 @@ N_ROWS="${2:-10000000}"
 LOW="${3:-4}"
 HIGH="${4:-16}"
 for i in $(seq 1 "$TRIES"); do
-  # wait (up to 20 min per attempt) for a quiet window
+  # wait (up to 20 min per attempt) for a DEEP quiet window: bursts
+  # last minutes, so require both the 1-min and 5-min averages low —
+  # a low 1-min with a high 5-min is usually a dip inside a burst
   for _ in $(seq 1 120); do
-    LOAD=$(cut -d' ' -f1 /proc/loadavg)
-    awk "BEGIN{exit !($LOAD < 1.0)}" && break
+    L1=$(cut -d' ' -f1 /proc/loadavg)
+    L5=$(cut -d' ' -f2 /proc/loadavg)
+    awk "BEGIN{exit !($L1 < 0.6 && $L5 < 2.5)}" && break
     sleep 10
   done
   echo "attempt $i: loadavg=$(cut -d' ' -f1 /proc/loadavg)"
