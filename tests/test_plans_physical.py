@@ -163,3 +163,23 @@ def test_fanout_write_is_rebalanced(env):
     plan = repartition_for_write(routed, cfg)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "RebalancePartitions" in plan or "rebalance" in plan.lower()
+
+
+def test_pii_redact_is_shuffle_free_and_pruned(spark):
+    """PII redaction must run at scan speed: a pure projection with no
+    Exchange anywhere, column-pruned to (doc_id, text)."""
+    from logfowd2_spark.plans.trainingdata import pii_redact
+
+    plan = plan_of(pii_redact(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan                       # no shuffle at all
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_batch_size_hist_has_no_global_window(spark):
+    """A2 histogram windows are partitioned by (sink, day) / sink — a
+    global ORDER BY window would funnel the table through one task."""
+    from logfowd2_spark.plans.catalog import pipe_batch_size_hist
+
+    plan = plan_of(pipe_batch_size_hist(spark, "/root/testdata/sf0.001"))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(sink_id" in plan
