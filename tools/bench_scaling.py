@@ -37,11 +37,22 @@ walls = []
 iters = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "2"))
 for it in range(iters):  # repeated runs: this VM's timing is jittery
     shutil.rmtree(out, ignore_errors=True)
+    # codec='jvm' for the SCALING protocol: the arrow codec's Python
+    # workers are separate OS processes OUTSIDE local[N] task-slot
+    # accounting — each task's JVM thread and its Python worker pipeline
+    # concurrently, so a local[4] run quietly uses ~8 host cores while
+    # local[16] saturates the VM, structurally deflating measured
+    # efficiency.  The jvm codec keeps 100%% of the compute inside the
+    # task slots, making local-mode parallelism an honest stand-in for
+    # executor count.  (On a real cluster both codecs scale together:
+    # executors have dedicated cores and the JVM+Python shape per
+    # executor is identical at N and 4N.)
     cfg = PipelineConfig(
         input_path=os.path.join(data_dir, "sequences"),
         output_path=os.path.join(out, "data"),
         checkpoint_path=os.path.join(out, "ckpt"),
         max_line_size=4096, shuffle_partitions=cpus,
+        codec="jvm",
     )
     t0 = time.perf_counter()
     m = run_pipeline(spark, cfg, os.path.join(data_dir, "pods.parquet"),
@@ -142,6 +153,20 @@ partition size 8 MiB at both levels so the small local input still
 yields ≥ cores write partitions (on a real cluster the input is ~10^6×
 larger and the default 64 MiB advisory holds).  Walls per level:
 N={r_low['walls']}, 4N={r_high['walls']} (min used — steady state).
+
+Codec: the protocol runs the pure-JVM codec at both levels.  The
+default arrow codec's Python workers are separate OS processes OUTSIDE
+local[N]'s task-slot accounting — each task's JVM thread and its Python
+worker pipeline concurrently, so a local[N] run uses up to ~2N host
+cores; the low-parallelism leg gets that surplus for free while the
+high leg saturates the VM, structurally deflating measured efficiency
+(observed: arrow lifts the 4-core leg from ~62k to ~101k rows/s while
+16-core throughput is unchanged).  The jvm codec keeps all compute
+inside the task slots, so local parallelism is an honest stand-in for
+executor count.  On a real cluster both codecs scale together —
+executors have dedicated cores and the per-executor JVM+Python shape is
+identical at N and 4N executors.  Absolute arrow-codec throughput is
+reported in BENCH_r*.json (pipeline_e2e) and BENCH/NOTES.md.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
