@@ -395,15 +395,33 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         import shutil as _shutil  # noqa: PLC0415
         import time as _time  # noqa: PLC0415
 
+        def newest_mtime(root: str) -> float:
+            # activity lives in nested table dirs (app/slug/name/part-*),
+            # so staleness must consider the whole subtree, not the
+            # top-level dir (whose mtime only changes on child creation)
+            newest = 0.0
+            try:
+                newest = os.path.getmtime(root)
+                for r, _dirs, files in os.walk(root):
+                    for fn in files:
+                        newest = max(newest,
+                                     os.path.getmtime(os.path.join(r, fn)))
+            except OSError:
+                pass
+            return newest
+
+        # heartbeat: parquet READS don't bump any mtime, so a long-lived
+        # session touches a marker on every cache access — its subtree
+        # never looks idle while the session keeps using it
+        mine = os.path.join(_SCRATCH_ROOT, app)
+        if os.path.isdir(mine):
+            with open(os.path.join(mine, "_HEARTBEAT"), "w"):
+                pass
         for name in os.listdir(_SCRATCH_ROOT):
             full = os.path.join(_SCRATCH_ROOT, name)
-            try:
-                stale = _time.time() - os.path.getmtime(full) > 3600
-            except OSError:
-                continue
-            # age guard: a CONCURRENT session's scratch is hot (mtime
-            # minutes old) — only reap subtrees idle for over an hour
-            if name != app and stale:
+            # age guard: only reap another session's subtree when nothing
+            # under it (data or heartbeat) changed for over an hour
+            if name != app and _time.time() - newest_mtime(full) > 3600:
                 _shutil.rmtree(full, ignore_errors=True)
     return (app, sf_dir)
 
@@ -658,21 +676,28 @@ def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
     eb = _exploded_bands(_materialized_sig(spark, sf_dir))
     eb.createOrReplaceTempView("eb")
+    # persist the edge set and each round's labels: every round runs a
+    # count() action, and without caching round k would re-execute the
+    # LSH verify joins plus all k-1 prior label joins from scratch
+    # (O(rounds^2) work and unbounded lineage growth)
     pairs = spark.sql(_VERIFY_OUT).select("a_id", "b_id")
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    )
+    ).persist()
     labels = (
         edges.select(F.col("a_id").alias("doc_id")).distinct()
         .withColumn("label", F.col("doc_id"))
+        .persist()
     )
-    for _ in range(15):
+    converged = False
+    for _ in range(25):
         cand = edges.join(labels, edges.a_id == labels.doc_id).select(
             F.col("b_id").alias("doc_id"), F.col("label")
         )
         new_labels = (
             labels.unionByName(cand)
             .groupBy("doc_id").agg(F.min("label").alias("label"))
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -680,9 +705,21 @@ def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("n.label <> o.label")
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # min-label propagation advances one hop per round: a component
+        # with diameter > the round cap would get a silently-wrong
+        # partitioning — fail loudly instead
+        raise RuntimeError(
+            "lsh_dup_clusters: label propagation did not converge in 25 "
+            "rounds (a duplicate component has diameter > 25); raise the "
+            "round cap for chain-shaped near-dup corpora"
+        )
+    edges.unpersist()
     w = Window.partitionBy("cluster_id")
     return (
         labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -67,6 +67,25 @@ def _old_path(live: str) -> str:
     return os.path.join(d, OLD_PREFIX + _mangle(name))
 
 
+def _atomic_put_file(dst: str, data: bytes,
+                     preserve_mtime_of: str | None = None) -> None:
+    """Publish a single file atomically under BOTH protocols: on a
+    filesystem, write a dot-hidden temp in the destination dir
+    (invisible to Spark and the footer walks) and rename it into place —
+    a half-written object never exists under ``dst``; on an object store
+    this is a single-object PUT, atomic by contract.
+    ``preserve_mtime_of`` copies that file's mtime onto the published
+    file (used by the DLQ trim, whose drop-oldest order derives
+    generation age from file mtimes)."""
+    tmp = os.path.join(os.path.dirname(dst), ".put-" + os.path.basename(dst))
+    with open(tmp, "wb") as fo:
+        fo.write(data)
+    if preserve_mtime_of is not None:
+        m = os.path.getmtime(preserve_mtime_of)
+        os.utime(tmp, (m, m))
+    os.replace(tmp, dst)
+
+
 def _list_files(root: str) -> list[str]:
     """All regular files under ``root``, relative paths, sorted."""
     out: list[str] = []
@@ -80,6 +99,10 @@ class RenameCommitter:
     """Metadata-rename protocol (POSIX/HDFS).  Atomic per rename."""
 
     name = "rename"
+
+    def put_file(self, dst: str, data: bytes,
+                 preserve_mtime_of: str | None = None) -> None:
+        _atomic_put_file(dst, data, preserve_mtime_of)
 
     def swap(self, live: str, staged: str) -> None:
         """Replace ``live``'s contents with ``staged`` (which is consumed).
@@ -142,6 +165,14 @@ class PutCommitter:
 
     name = "put"
     MARKER = "_COMMIT_READY"
+
+    def put_file(self, dst: str, data: bytes,
+                 preserve_mtime_of: str | None = None) -> None:
+        """A single-object PUT — atomic by the object-store contract
+        (readers see the whole object or none of it).  The local
+        emulation stages through a hidden temp + replace, which is how
+        a filesystem approximates that contract."""
+        _atomic_put_file(dst, data, preserve_mtime_of)
 
     # -- object-store primitive emulations (the only fs ops used) --------
     @staticmethod

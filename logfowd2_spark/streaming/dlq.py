@@ -151,13 +151,16 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
         # a prior attempt of THIS generation fully committed (marker is
         # written after all three writes) but crashed mid-removal of the
         # consumed input dirs: resume the removal and return the recorded
-        # counts — rebuilding would read the new generation as input
+        # counts — rebuilding would read the new generation as input.
+        # Only the dirs the marker RECORDS as consumed are removed: any
+        # generation that arrived after the commit (new batches ran
+        # before the redrive was retried) was never redriven and must
+        # survive for the next generation.
         with open(marker) as fh:
-            result = json.load(fh)
-        for d in _dlq_batch_dirs(dlq_path):
-            if os.path.abspath(d) != os.path.abspath(new_dir):
-                shutil.rmtree(d, ignore_errors=True)
-        return result
+            committed = json.load(fh)
+        for name in committed.get("consumed_dirs", []):
+            shutil.rmtree(os.path.join(dlq_path, name), ignore_errors=True)
+        return committed["result"]
     # crash-rerun idempotence: drop this generation's own UNCOMMITTED
     # partial output BEFORE listing/reading, so it is never both source
     # and sink (its rows derive entirely from the still-present inputs)
@@ -237,16 +240,24 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     }
     # commit point: the marker (underscore-prefixed — invisible to Spark
     # and to the footer walks) records that every write of this
-    # generation completed, so a rerun RESUMES the input removal instead
-    # of rebuilding from a partially-deleted input set (which would lose
-    # the already-removed generations' rows).  A crash between marker
-    # and removals followed by a pass at a NEW generation number
+    # generation completed AND which input dirs it consumed, so a rerun
+    # RESUMES the removal of exactly those dirs instead of rebuilding
+    # from a partially-deleted input set (which would lose the
+    # already-removed generations' rows) or wiping generations that
+    # arrived after the commit.  Published through the commit seam
+    # (atomic single-object put under both protocols).  A crash between
+    # marker and removals followed by a pass at a NEW generation number
     # re-presents the old rows — the documented at-least-once contract.
+    from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
+
     os.makedirs(new_dir, exist_ok=True)
-    tmp_marker = os.path.join(new_dir, "._COMMITTED.tmp")
-    with open(tmp_marker, "w") as fh:
-        json.dump(result, fh)
-    os.replace(tmp_marker, marker)
+    get_committer(cfg.commit_protocol).put_file(
+        marker,
+        json.dumps({
+            "result": result,
+            "consumed_dirs": [os.path.basename(d) for d in old_dirs],
+        }).encode(),
+    )
     for d in old_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return result
@@ -291,9 +302,9 @@ def _recover_trims(dlq_path: str) -> None:
         return
     for d in _dlq_batch_dirs(dlq_path):
         for fn in os.listdir(d):
-            if fn.startswith("." + _TRIM_PREFIX):
-                # half-copied temp from a crash mid-publish: never
-                # became the committed trim file, safe to discard
+            if fn.startswith((".put-", "." + _TRIM_PREFIX)):
+                # half-written temp from a crash mid-publish: never
+                # became the committed file, safe to discard
                 os.remove(os.path.join(d, fn))
             elif fn.startswith(_TRIM_PREFIX):
                 orig = os.path.join(d, fn[len(_TRIM_PREFIX):])
@@ -383,26 +394,23 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
                 if fn.endswith(".parquet")
             )
             trimmed = os.path.join(d, _TRIM_PREFIX + os.path.basename(path))
-            # publish the replacement ATOMICALLY: copy to a dot-hidden
-            # temp (invisible to Spark, the footer walks, and
-            # _recover_trims) and os.replace into the trim-<orig> name —
-            # a half-copied trim file must never exist under that name,
-            # because _recover_trims treats its presence as committed
-            # intent and deletes the original (the object-store analogue
-            # is a single-object PUT, atomic by contract).  Then
+            # publish the replacement through the commit seam's atomic
+            # single-file put — a half-written trim file must never
+            # exist under the trim-<orig> name, because _recover_trims
+            # treats its presence as committed intent and deletes the
+            # original.  preserve_mtime_of keeps the original's mtime:
+            # generation age (drop-oldest order) derives from file
+            # mtimes, and a fresh timestamp on the trimmed survivor
+            # would make this OLDEST generation look newest.  Then
             # put-then-delete: replacement whole and visible first, the
             # original's deletion is the commit (see _recover_trims).
-            orig_mtime = os.path.getmtime(path)
-            tmp = os.path.join(d, "." + _TRIM_PREFIX + "tmp")
-            with open(os.path.join(stage, part), "rb") as fi, \
-                    open(tmp, "wb") as fo:
-                shutil.copyfileobj(fi, fo)
-            # keep the original file's mtime: generation age (drop-oldest
-            # order) is derived from file mtimes, and a fresh timestamp
-            # on the trimmed survivor would make this OLDEST generation
-            # look newest, inverting FIFO on the next enforcement
-            os.utime(tmp, (orig_mtime, orig_mtime))
-            os.replace(tmp, trimmed)
+            from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
+
+            with open(os.path.join(stage, part), "rb") as fi:
+                payload = fi.read()
+            get_committer(cfg.commit_protocol).put_file(
+                trimmed, payload, preserve_mtime_of=path
+            )
             os.remove(path)
             shutil.rmtree(stage, ignore_errors=True)
             acc = overflow

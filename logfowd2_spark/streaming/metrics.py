@@ -54,11 +54,15 @@ class RuntimeGauges:
     MAX_TIMEOUT_MS: float = 120_000.0
 
     def observe(self, wall_ms: float, failed: bool = False) -> None:
-        if self.batches_seen == 0:
-            self.ema_batch_ms = wall_ms  # seed, like the reference's first sample
-        else:
-            self.ema_batch_ms = 0.9 * self.ema_batch_ms + 0.1 * wall_ms
-        self.batches_seen += 1
+        if wall_ms > 0:
+            # a failed batch with no meaningful wall (it threw) bumps the
+            # streak only — the reference likewise has no latency sample
+            # for a timed-out request
+            if self.batches_seen == 0:
+                self.ema_batch_ms = wall_ms  # seed, like the reference's first sample
+            else:
+                self.ema_batch_ms = 0.9 * self.ema_batch_ms + 0.1 * wall_ms
+            self.batches_seen += 1
         self.consecutive_failures = self.consecutive_failures + 1 if failed else 0
 
     def adaptive_timeout_ms(self) -> float:

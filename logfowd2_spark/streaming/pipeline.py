@@ -419,10 +419,20 @@ def run_pipeline(
             )
             save_manifest(man, manifest_path)
             continue
-        m = run_batch(spark, batch_id, chunk, pods, cfg)
+        try:
+            m = run_batch(spark, batch_id, chunk, pods, cfg)
+        except Exception:
+            if gauges is not None:
+                # a thrown batch is the reference's failed-request case:
+                # bump the streak so a retrying caller sees the widened
+                # adaptive timeout (pool.rs:94-121), then surface the error
+                gauges.observe(0.0, failed=True)
+            raise
         if gauges is not None:
-            # A6 gauges ride the driver loop (pool.rs:63-121 analogue)
-            gauges.observe(m.wall_ms)
+            # A6 gauges ride the driver loop (pool.rs:63-121 analogue);
+            # a conservation break counts as a failed delivery — it is
+            # the batch-mode analogue of a bulk call that lost docs
+            gauges.observe(m.wall_ms, failed=not m.conservation_ok())
         man.batches[batch_id] = BatchRecord(
             batch_id=batch_id,
             input_files=chunk,

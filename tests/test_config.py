@@ -71,3 +71,8 @@ def test_runtime_gauges_ema_and_adaptive_timeout():
     g3 = RuntimeGauges()
     g3.observe(15_000.0)
     assert g3.adaptive_timeout_ms() == 45_000.0     # 3*EMA floor > base
+
+    # a thrown batch (no meaningful wall): streak bumps, EMA untouched
+    ema_before = g3.ema_batch_ms
+    g3.observe(0.0, failed=True)
+    assert g3.ema_batch_ms == ema_before and g3.consecutive_failures == 1

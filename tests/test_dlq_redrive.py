@@ -110,18 +110,25 @@ def test_redrive_rerun_resumes_committed_generation(spark, tmp_path):
     # two consumed-input generations still on disk (crash mid-removal)
     write_dlq(mk(0), dlq_path, "batch-00000")
     write_dlq(mk(1), dlq_path, "batch-00001")
-    # the committed redrive generation: data + marker
+    # one generation that arrived AFTER the commit (new batches ran
+    # before the redrive retry): NOT in consumed_dirs — must survive
+    write_dlq(mk(3), dlq_path, "batch-00002")
+    # the committed redrive generation: data + marker recording inputs
     write_dlq(mk(2), dlq_path, "redrive-00001")
     new_dir = os.path.join(dlq_path, "batch_id=redrive-00001")
     recorded = {"recovered": 5, "requeued": 1, "permanently_failed": 0}
     with open(os.path.join(new_dir, "_COMMITTED.json"), "w") as fh:
-        json.dump(recorded, fh)
+        json.dump({"result": recorded,
+                   "consumed_dirs": ["batch_id=batch-00000",
+                                     "batch_id=batch-00001"]}, fh)
 
     res = redrive_pass(spark, cfg, pods=None, generation=1)
     assert res == recorded                      # no rebuild — recorded counts
-    assert _dlq_batch_dirs(dlq_path) == [new_dir]  # inputs removed
-    rows = read_dlq(spark, dlq_path).collect()  # committed rows intact
-    assert [r["doc_id"] for r in rows] == ["doc-2"]
+    assert _dlq_batch_dirs(dlq_path) == [       # consumed removed, late kept
+        os.path.join(dlq_path, "batch_id=batch-00002"), new_dir,
+    ]
+    rows = sorted(r["doc_id"] for r in read_dlq(spark, dlq_path).collect())
+    assert rows == ["doc-2", "doc-3"]           # committed + late rows intact
 
 
 def test_sink_fault_transient_recovery(spark, tmp_path):
