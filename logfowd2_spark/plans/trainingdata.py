@@ -627,6 +627,72 @@ def lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_VERIFY_OUT)
 
 
+# --- INCREMENTAL dedup: a new batch against the stored signature table -----
+
+_INCR_OUT = f"""
+WITH newb AS (SELECT doc_id, band_key FROM eb WHERE doc_id % 5 = 0),
+cp AS (SELECT DISTINCT least(n.doc_id, o.doc_id) AS a_id,
+              greatest(n.doc_id, o.doc_id) AS b_id
+       FROM newb n JOIN eb o
+         ON n.band_key = o.band_key AND n.doc_id <> o.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT cp.a_id, cp.b_id, count(*) AS i_n
+  FROM cp
+  JOIN sh sa ON sa.doc_id = cp.a_id
+  JOIN sh sb ON sb.doc_id = cp.b_id AND sb.shingle = sa.shingle
+  GROUP BY cp.a_id, cp.b_id)
+SELECT a_id, b_id,
+       round(CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n), 4) AS jaccard,
+       CASE WHEN a_id % 5 = 0 AND b_id % 5 = 0 THEN 'incoming_vs_incoming'
+            ELSE 'incoming_vs_corpus' END AS pair_type
+FROM inter
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+_INCR_ORACLE = f"""
+WITH {{shingles}},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i_n
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id,
+       round(CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n), 4) AS jaccard,
+       CASE WHEN a_id % 5 = 0 AND b_id % 5 = 0 THEN 'incoming_vs_incoming'
+            ELSE 'incoming_vs_corpus' END AS pair_type
+FROM pairs
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
+  AND NOT (a_id % 5 <> 0 AND b_id % 5 <> 0)
+"""
+
+
+@register("lsh_incremental_dups",
+          _INCR_ORACLE.format(shingles=_capped_shingles("duck")))
+def lsh_incremental_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production flow the stored signature
+    table exists for: an incoming batch (doc_id % 5 = 0, ~20% of docs)
+    is checked against the existing corpus WITHOUT re-deduping the
+    corpus.  Candidates = incoming band keys equi-joined into the full
+    band table (linear in incoming size × bucket occupancy; the corpus
+    side is a scan of the written signature intermediate, never a
+    re-hash), then exact-Jaccard verified; corpus×corpus pairs are
+    excluded by construction (they were settled by the previous full
+    run).  Pairs are typed incoming_vs_corpus / incoming_vs_incoming —
+    the former dedups against history, the latter within the batch.
+    Oracle: brute-force Jaccard over all pairs with at least one
+    incoming side — proves the incremental path finds exactly what a
+    full recompute restricted to the new docs would."""
+    _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
+    eb = _exploded_bands(_materialized_sig(spark, sf_dir))
+    eb.createOrReplaceTempView("eb")
+    return spark.sql(_INCR_OUT)
+
+
 # --- near-dup CLUSTERS: connected components over the verified pairs -------
 
 _CLUSTER_ORACLE = f"""
