@@ -84,7 +84,10 @@ class PipelineConfig:
     # there; measured ~20% faster than the JVM decode at 16 cores).
     # "jvm" is the pure whole-stage-codegen chr() mapping: ASCII-exact,
     # zero Python workers — the opt-in for clusters where Python worker
-    # provisioning is the constraint.
+    # provisioning is constrained OR CPU headroom is scarce: the arrow
+    # path's JVM+Python pipelining uses up to ~2 cores per task slot
+    # (fastest with dedicated executor cores, degrades ~2x faster than
+    # the jvm codec on an oversubscribed host — BENCH/NOTES.md).
     codec: str = "arrow"
 
     # --- sink fault injection (reference transient-error taxonomy,
