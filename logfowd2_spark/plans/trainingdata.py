@@ -101,6 +101,55 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TF-IDF top terms --------------------------------------------------------------
+
+_TFIDF_DUCK = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT source, w, count(*) AS tf FROM words GROUP BY 1, 2),
+dfx AS (SELECT w, count(DISTINCT source) AS df FROM words GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.w AS term, tf.tf, dfx.df,
+         tf.tf * ln(CAST(n AS DOUBLE) / dfx.df) AS score
+  FROM tf JOIN dfx ON tf.w = dfx.w CROSS JOIN ns),
+r AS (SELECT source, term, tf, df, round(score, 4) AS score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 5
+"""
+
+_TFIDF_SPARK = """
+WITH words AS (
+  SELECT source, explode(split(text, ' ')) AS w FROM documents),
+tf AS (SELECT source, w, count(*) AS tf FROM words GROUP BY 1, 2),
+dfx AS (SELECT w, count(DISTINCT source) AS df FROM words GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.w AS term, tf.tf, dfx.df,
+         tf.tf * ln(CAST(n AS DOUBLE) / dfx.df) AS score
+  FROM tf JOIN dfx ON tf.w = dfx.w CROSS JOIN ns),
+r AS (SELECT source, term, tf, df, round(score, 4) AS score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_DUCK)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: tf·idf = tf × ln(N/df) with
+    stopword-like terms self-suppressing (df = N ⇒ idf = 0 — no
+    stopword list needed), top-5 per source with a deterministic term
+    tiebreak.  Plan shape at scale: two map-side-combined shuffles (the
+    per-(source,term) tf and the per-term df), a broadcast of the 1-row
+    corpus constant, and a WindowGroupLimit top-k per source — no global
+    sort, no driver collect."""
+    return _sql(spark, sf_dir, _TFIDF_SPARK, ["documents"])
+
+
 # --- PII redaction -----------------------------------------------------------------
 
 # patterns are backslash-free ([.] and [0-9] instead of \. and \d) so the

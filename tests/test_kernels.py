@@ -296,3 +296,49 @@ def test_parse_taxonomy_matches_oracle_on_random_lines(spark):
     for doc_id, _src, line in lines:
         want = oracle_one(line)
         assert got[doc_id] == want, f"{doc_id}: {got[doc_id]} != {want} for {line!r}"
+
+
+def test_truncate_property_random_unicode(spark):
+    """Property test (hypothesis-generated vectors, one Spark job per
+    batch): for arbitrary unicode lines and byte budgets, the kernel's
+    output equals the independent Python byte-exact reference, the kept
+    content never exceeds the budget in BYTES, and it is always a
+    codepoint prefix of the input (no mojibake, no reordering)."""
+    from hypothesis import given, settings, strategies as st
+
+    suffix = "... [TRUNCATED]"
+
+    def py_truncate(s: str, m: int) -> str:
+        b = s.encode("utf-8")
+        if len(b) <= m:
+            return s
+        t = 0
+        while t < 3 and (b[m - 1 - t] & 0xC0) == 0x80:
+            t += 1
+        lead = b[m - 1 - t]
+        exp = (1 if lead < 0x80 else 2 if lead < 0xE0 else
+               3 if lead < 0xF0 else 4)
+        keep = m if exp == t + 1 else m - t - 1
+        return b[:keep].decode("utf-8") + suffix
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.text(max_size=60), min_size=1, max_size=25),
+        st.integers(min_value=4, max_value=40),
+    )
+    def check(lines, budget):
+        df = spark.createDataFrame([(s,) for s in lines], "line string")
+        rows = df.select(
+            "line",
+            truncate_line(F.col("line"), budget).alias("t"),
+        ).collect()
+        for r in rows:
+            expect = py_truncate(r["line"], budget)
+            assert r["t"] == expect, (r["line"], budget)
+            kept = r["t"][:-len(suffix)] if r["t"].endswith(suffix) and \
+                len(r["line"].encode()) > budget else r["t"]
+            assert len(kept.encode("utf-8")) <= max(
+                budget, len(r["line"].encode())), (r["line"], budget)
+            assert r["line"].startswith(kept), (r["line"], budget)
+
+    check()
