@@ -135,7 +135,13 @@ def main() -> None:
                 "queries": times,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
                 "pipeline_rows_routed": routed,
+                # default (arrow) codec throughput; the jvm twin makes the
+                # round-over-round comparison explicit — r01/r02 recorded
+                # the then-default jvm path under pipeline_rows_per_sec,
+                # and the arrow path is the load-sensitive one (its Python
+                # workers double per-slot CPU demand — BENCH/NOTES.md)
                 "pipeline_rows_per_sec": round(routed / wall, 1),
+                "pipeline_rows_per_sec_jvm": round(routed_j / wall_j, 1),
                 "cpus": cpus,
             }
         )
