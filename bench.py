@@ -30,9 +30,14 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "lsh_verified_dups",
+    "lsh_dup_clusters",
+    "lsh_incremental_dups",
     "embedding_cosine_dups",
     "simhash_fingerprint",
     "pipe_sanitize_utf8",
+    "pipe_batch_size_hist",
+    "pii_redact",
+    "tfidf_top_terms",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "asof_join_last_purchase",
