@@ -61,6 +61,20 @@ def _sql(spark: SparkSession, sf_dir: str, query: str,
     return spark.sql(query)
 
 
+def _await_stream(q, timeout: int = 600) -> None:
+    """Fail LOUDLY if a streaming gate's availableNow query does not
+    drain in time: reading the memory sink of a still-running query
+    would report silently incomplete results (an oracle value mismatch
+    masquerading as an operator bug) while the query keeps writing
+    behind the caller's back."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming gate query {q.name!r} did not finish within "
+            f"{timeout}s — result would be incomplete"
+        )
+
+
 # ---------------------------------------------------------------------------
 # shared route CASE chain (kept in sync between Spark SQL and DuckDB SQL)
 # ---------------------------------------------------------------------------
@@ -811,7 +825,7 @@ def streaming_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pod_id string, node string, workload_kind string, labels_json string",
     )
     q = streaming_pipeline(spark, cfg, pods, available_now=True)
-    q.awaitTermination(300)
+    _await_stream(q)
 
     stats = spark.read.parquet(f"{cfg.output_path}/sink_stats")
     return stats.groupBy("sink_id").agg(
@@ -964,7 +978,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.sql("SELECT window_start, event_type, n FROM late_win_gate")
 
 
@@ -1096,7 +1110,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.sql(
         "SELECT k, session_start, session_end, n_events FROM stream_sess_gate"
     )

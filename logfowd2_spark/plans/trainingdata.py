@@ -115,7 +115,7 @@ scored AS (
   FROM tf JOIN dfx ON tf.w = dfx.w CROSS JOIN ns),
 r AS (SELECT source, term, tf, df, round(score, 4) AS score,
              row_number() OVER (PARTITION BY source
-                                ORDER BY score DESC, term) AS rnk
+                                ORDER BY round(score, 4) DESC, term) AS rnk
       FROM scored)
 SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 5
 """
@@ -132,7 +132,7 @@ scored AS (
   FROM tf JOIN dfx ON tf.w = dfx.w CROSS JOIN ns),
 r AS (SELECT source, term, tf, df, round(score, 4) AS score,
              row_number() OVER (PARTITION BY source
-                                ORDER BY score DESC, term) AS rnk
+                                ORDER BY round(score, 4) DESC, term) AS rnk
       FROM scored)
 SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 5
 """
@@ -805,39 +805,51 @@ def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     converged = False
-    for _ in range(25):
-        cand = edges.join(labels, edges.a_id == labels.doc_id).select(
-            F.col("b_id").alias("doc_id"), F.col("label")
+    try:
+        for _ in range(25):
+            cand = edges.join(labels, edges.a_id == labels.doc_id).select(
+                F.col("b_id").alias("doc_id"), F.col("label")
+            )
+            new_labels = (
+                labels.unionByName(cand)
+                .groupBy("doc_id").agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter("n.label <> o.label")
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            # min-label propagation advances one hop per round: a
+            # component with diameter > the round cap would get a
+            # silently-wrong partitioning — fail loudly instead
+            raise RuntimeError(
+                "lsh_dup_clusters: label propagation did not converge in "
+                "25 rounds (a duplicate component has diameter > 25); "
+                "raise the round cap for chain-shaped near-dup corpora"
+            )
+        # write the converged labels as a scratch intermediate (same
+        # durability pattern as the signature table) so NOTHING stays
+        # pinned in storage memory after the call — repeated invocations
+        # in a long session (bench + oracle sweep) must not accumulate
+        # cached label tables — and the returned DF's lineage is one
+        # parquet scan instead of 25 stacked joins
+        final = _write_intermediate(
+            labels, spark, _cache_key(spark, sf_dir), "dup_labels"
         )
-        new_labels = (
-            labels.unionByName(cand)
-            .groupBy("doc_id").agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.label <> o.label")
-            .count()
-        )
+    finally:
+        edges.unpersist()
         labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # min-label propagation advances one hop per round: a component
-        # with diameter > the round cap would get a silently-wrong
-        # partitioning — fail loudly instead
-        raise RuntimeError(
-            "lsh_dup_clusters: label propagation did not converge in 25 "
-            "rounds (a duplicate component has diameter > 25); raise the "
-            "round cap for chain-shaped near-dup corpora"
-        )
-    edges.unpersist()
     w = Window.partitionBy("cluster_id")
     return (
-        labels.select("doc_id", F.col("label").alias("cluster_id"))
+        final.select("doc_id", F.col("label").alias("cluster_id"))
         .withColumn("cluster_size", F.count("*").over(w))
     )
 

@@ -67,19 +67,26 @@ def _old_path(live: str) -> str:
     return os.path.join(d, OLD_PREFIX + _mangle(name))
 
 
-def _atomic_put_file(dst: str, data: bytes,
-                     preserve_mtime_of: str | None = None) -> None:
+def _atomic_put_file(dst: str, data: bytes | None = None,
+                     preserve_mtime_of: str | None = None,
+                     src_path: str | None = None) -> None:
     """Publish a single file atomically under BOTH protocols: on a
     filesystem, write a dot-hidden temp in the destination dir
     (invisible to Spark and the footer walks) and rename it into place —
     a half-written object never exists under ``dst``; on an object store
-    this is a single-object PUT, atomic by contract.
-    ``preserve_mtime_of`` copies that file's mtime onto the published
-    file (used by the DLQ trim, whose drop-oldest order derives
-    generation age from file mtimes)."""
+    this is a single-object PUT, atomic by contract.  Pass ``src_path``
+    to STREAM an existing file (no full in-memory materialization — the
+    DLQ trim publishes parquet files this way), or ``data`` for small
+    in-memory payloads (markers).  ``preserve_mtime_of`` copies that
+    file's mtime onto the published file (the DLQ's drop-oldest order
+    derives generation age from file mtimes)."""
     tmp = os.path.join(os.path.dirname(dst), ".put-" + os.path.basename(dst))
-    with open(tmp, "wb") as fo:
-        fo.write(data)
+    if src_path is not None:
+        with open(src_path, "rb") as fi, open(tmp, "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+    else:
+        with open(tmp, "wb") as fo:
+            fo.write(data or b"")
     if preserve_mtime_of is not None:
         m = os.path.getmtime(preserve_mtime_of)
         os.utime(tmp, (m, m))
@@ -100,9 +107,10 @@ class RenameCommitter:
 
     name = "rename"
 
-    def put_file(self, dst: str, data: bytes,
-                 preserve_mtime_of: str | None = None) -> None:
-        _atomic_put_file(dst, data, preserve_mtime_of)
+    def put_file(self, dst: str, data: bytes | None = None,
+                 preserve_mtime_of: str | None = None,
+                 src_path: str | None = None) -> None:
+        _atomic_put_file(dst, data, preserve_mtime_of, src_path)
 
     def swap(self, live: str, staged: str) -> None:
         """Replace ``live``'s contents with ``staged`` (which is consumed).
@@ -166,13 +174,14 @@ class PutCommitter:
     name = "put"
     MARKER = "_COMMIT_READY"
 
-    def put_file(self, dst: str, data: bytes,
-                 preserve_mtime_of: str | None = None) -> None:
+    def put_file(self, dst: str, data: bytes | None = None,
+                 preserve_mtime_of: str | None = None,
+                 src_path: str | None = None) -> None:
         """A single-object PUT — atomic by the object-store contract
         (readers see the whole object or none of it).  The local
         emulation stages through a hidden temp + replace, which is how
         a filesystem approximates that contract."""
-        _atomic_put_file(dst, data, preserve_mtime_of)
+        _atomic_put_file(dst, data, preserve_mtime_of, src_path)
 
     # -- object-store primitive emulations (the only fs ops used) --------
     @staticmethod

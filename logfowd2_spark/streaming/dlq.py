@@ -160,7 +160,10 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
             committed = json.load(fh)
         for name in committed.get("consumed_dirs", []):
             shutil.rmtree(os.path.join(dlq_path, name), ignore_errors=True)
-        return committed["result"]
+        # back-compat: an early marker format stored the counts flat
+        # (no consumed_dirs recorded — nothing more can safely be
+        # removed); never KeyError on a crash-recovery path
+        return committed.get("result", committed)
     # crash-rerun idempotence: drop this generation's own UNCOMMITTED
     # partial output BEFORE listing/reading, so it is never both source
     # and sink (its rows derive entirely from the still-present inputs)
@@ -406,10 +409,9 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
             # original's deletion is the commit (see _recover_trims).
             from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
 
-            with open(os.path.join(stage, part), "rb") as fi:
-                payload = fi.read()
             get_committer(cfg.commit_protocol).put_file(
-                trimmed, payload, preserve_mtime_of=path
+                trimmed, preserve_mtime_of=path,
+                src_path=os.path.join(stage, part),
             )
             os.remove(path)
             shutil.rmtree(stage, ignore_errors=True)

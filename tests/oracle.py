@@ -24,6 +24,25 @@ CTRL = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
 NONPRINT = re.compile(r"[^\x20-\x7E\t]")
 
 
+def byte_exact_truncate(s: str, max_line_size: int,
+                        suffix: str = "... [TRUNCATED]") -> str:
+    """The single Python reference for the byte-budget, UTF-8-boundary
+    truncation cut (reference file.rs:595-617) — shared by the pipeline
+    oracle and the kernel property test so the boundary logic lives in
+    exactly one place."""
+    b = s.encode("utf-8")
+    if len(b) <= max_line_size:
+        return s
+    t = 0
+    while t < 3 and (b[max_line_size - 1 - t] & 0xC0) == 0x80:
+        t += 1
+    lead = b[max_line_size - 1 - t]
+    exp = (1 if lead < 0x80 else 2 if lead < 0xE0 else
+           3 if lead < 0xF0 else 4)
+    keep = max_line_size if exp == t + 1 else max_line_size - t - 1
+    return b[:keep].decode("utf-8") + suffix
+
+
 def oracle_transform(
     seq: pd.DataFrame,
     pods: pd.DataFrame,
@@ -41,19 +60,7 @@ def oracle_transform(
         return s
 
     def truncate(s: str) -> str:
-        # byte-budget threshold AND byte-exact UTF-8-boundary cut
-        # (matches kernels.truncate_line / reference file.rs:595-617)
-        b = s.encode("utf-8")
-        if len(b) <= max_line_size:
-            return s
-        t = 0
-        while t < 3 and (b[max_line_size - 1 - t] & 0xC0) == 0x80:
-            t += 1
-        lead = b[max_line_size - 1 - t]
-        exp = (1 if lead < 0x80 else 2 if lead < 0xE0 else
-               3 if lead < 0xF0 else 4)
-        keep = max_line_size if exp == t + 1 else max_line_size - t - 1
-        return b[:keep].decode("utf-8") + suffix
+        return byte_exact_truncate(s, max_line_size, suffix)
 
     lines = lines.map(lambda s: re.sub(r"[\r\n]+$", "", s))
     lines = lines.map(sanitize).map(truncate)

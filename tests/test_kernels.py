@@ -301,25 +301,16 @@ def test_parse_taxonomy_matches_oracle_on_random_lines(spark):
 def test_truncate_property_random_unicode(spark):
     """Property test (hypothesis-generated vectors, one Spark job per
     batch): for arbitrary unicode lines and byte budgets, the kernel's
-    output equals the independent Python byte-exact reference, the kept
-    content never exceeds the budget in BYTES, and it is always a
-    codepoint prefix of the input (no mojibake, no reordering)."""
+    output equals the shared Python byte-exact reference
+    (tests/oracle.py:byte_exact_truncate — the boundary logic lives in
+    ONE place), a truncated line's kept content never exceeds the budget
+    in BYTES, and the kept content is always a codepoint prefix of the
+    input (no mojibake, no reordering)."""
     from hypothesis import given, settings, strategies as st
 
-    suffix = "... [TRUNCATED]"
+    from tests.oracle import byte_exact_truncate
 
-    def py_truncate(s: str, m: int) -> str:
-        b = s.encode("utf-8")
-        if len(b) <= m:
-            return s
-        t = 0
-        while t < 3 and (b[m - 1 - t] & 0xC0) == 0x80:
-            t += 1
-        lead = b[m - 1 - t]
-        exp = (1 if lead < 0x80 else 2 if lead < 0xE0 else
-               3 if lead < 0xF0 else 4)
-        keep = m if exp == t + 1 else m - t - 1
-        return b[:keep].decode("utf-8") + suffix
+    suffix = "... [TRUNCATED]"
 
     @settings(max_examples=12, deadline=None)
     @given(
@@ -333,12 +324,15 @@ def test_truncate_property_random_unicode(spark):
             truncate_line(F.col("line"), budget).alias("t"),
         ).collect()
         for r in rows:
-            expect = py_truncate(r["line"], budget)
+            expect = byte_exact_truncate(r["line"], budget, suffix)
             assert r["t"] == expect, (r["line"], budget)
-            kept = r["t"][:-len(suffix)] if r["t"].endswith(suffix) and \
-                len(r["line"].encode()) > budget else r["t"]
-            assert len(kept.encode("utf-8")) <= max(
-                budget, len(r["line"].encode())), (r["line"], budget)
+            if len(r["line"].encode()) > budget:     # truncated branch
+                assert r["t"].endswith(suffix)
+                kept = r["t"][:-len(suffix)]
+                assert len(kept.encode("utf-8")) <= budget, (r["line"], budget)
+            else:
+                kept = r["t"]
+                assert kept == r["line"]
             assert r["line"].startswith(kept), (r["line"], budget)
 
     check()
