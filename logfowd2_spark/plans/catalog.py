@@ -1010,98 +1010,59 @@ WHERE sid < max_sid OR epoch(t1) + 7200 < epoch(mx) - 3600
 
 @register("streaming_sessionize", _STREAM_SESS_ORACLE)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows as a CUSTOM STATEFUL streaming operator with
-    EVENT-TIME timeouts (applyInPandasWithState) — the shape built-in
-    operators can't express when the per-session state is richer than a
-    count.  Per key the state is the open session (start, last, n);
-    arriving events either extend it or close it (gap > 2 h ⇒ the
-    closed session is EMITTED IMMEDIATELY, not at watermark), and the
-    state's timeout is re-armed at last + gap in EVENT time, so a
-    session with no successor closes exactly when the watermark (max
-    event time − 1 h delay) passes its gap deadline.  The oracle states
-    that contract in closed form: every batch session EXCEPT each key's
-    last one, which emits iff last_ts + gap < max_ts − delay.  Input is
-    three time-ordered files (maxFilesPerTrigger=1 ⇒ the watermark
-    genuinely advances across micro-batches)."""
+    """Gate for ``streaming.stream.sessionize`` (custom stateful op with
+    EVENT-TIME timeouts; see its docstring for semantics).  The oracle
+    states the contract in closed form: every batch session EXCEPT each
+    key's last one, which emits iff last_ts + gap < max_ts − delay.
+    Input is three time-ordered files (maxFilesPerTrigger=1 ⇒ the
+    watermark genuinely advances across micro-batches); the terciles
+    are written Spark-side with the types the stream read declares
+    (``k`` int ⇒ parquet INT32 — a pandas round-trip here once widened
+    it to INT64 and broke the stream read in a different environment),
+    and no full-table collect touches the driver."""
     import os
     import shutil
     import tempfile
     from glob import glob
 
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
 
-    GAP_US = 7200 * 1_000_000
+    from logfowd2_spark.streaming.stream import sessionize  # noqa: PLC0415
+
     root = tempfile.mkdtemp(prefix="logfowd2-sessq-")
     in_dir = f"{root}/in"
     os.makedirs(in_dir)
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select((F.col("user_id") % 40).cast("int").alias("k"), "ts")
-        .orderBy("ts")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 40).cast("int").alias("k"), "ts"
     )
-    pdf = ev.toPandas()
-    third = (len(pdf) + 2) // 3
+    # Spark-side time-ordered tercile split (gate-scale input, so the
+    # single-partition ntile window is fine here; production streams
+    # arrive pre-split).  The split POSITIONS don't matter — only time
+    # order across files does — and the result is split-invariant.
+    tiled = ev.withColumn(
+        "tercile", F.ntile(3).over(Window.orderBy("ts", "k"))
+    ).persist()
     for i in range(3):
-        part = pdf.iloc[i * third:(i + 1) * third]
         tmp = f"{root}/tmp{i}"
-        spark.createDataFrame(part).coalesce(1).write.parquet(tmp)
+        (
+            tiled.filter(F.col("tercile") == i + 1)
+            .select("k", "ts")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
         src = glob(f"{tmp}/part-*.parquet")[0]
         dst = f"{in_dir}/{i:02d}.parquet"
         shutil.copy(src, dst)
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
-
-    def fmt(us: int) -> str:
-        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
-
-    def sessionize_fn(key, pdf_iter, state):
-        if state.hasTimedOut:
-            s0, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [(key[0], fmt(s0), fmt(last), n)],
-                columns=["k", "session_start", "session_end", "n_events"],
-            )
-            return
-        rows = pd.concat(list(pdf_iter))
-        stamps = sorted(t.value // 1000 for t in rows["ts"])  # ns → µs
-        s0, last, n = state.get if state.exists else (None, None, 0)
-        closed = []
-        for t in stamps:
-            if last is None:
-                s0, last, n = t, t, 1
-            elif t - last > GAP_US:
-                closed.append((key[0], fmt(s0), fmt(last), n))
-                s0, last, n = t, t, 1
-            else:
-                last, n = t, n + 1
-        state.update((s0, last, n))
-        state.setTimeoutTimestamp((last + GAP_US) // 1000)  # epoch ms
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["k", "session_start", "session_end", "n_events"],
-            )
+    tiled.unpersist()
 
     stream = (
         spark.readStream.schema("k int, ts timestamp")
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
     )
-    out = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy("k")
-        .applyInPandasWithState(
-            sessionize_fn,
-            outputStructType=(
-                "k int, session_start string, session_end string, "
-                "n_events int"
-            ),
-            stateStructType="s0 long, last long, n int",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
-    )
+    out = sessionize(stream, key="k", ts="ts", gap_s=7200, delay="1 hour",
+                     key_ddl="k int")
     q = (
         out.writeStream.format("memory")
         .queryName("stream_sess_gate")

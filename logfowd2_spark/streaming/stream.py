@@ -141,6 +141,81 @@ def stateful_dedup_stream(spark: SparkSession, cfg: PipelineConfig,
     return writer.start()
 
 
+def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
+               gap_s: int = 7200, delay: str = "1 hour",
+               key_ddl: str = "k int") -> DataFrame:
+    """Session windows as a reusable CUSTOM STATEFUL streaming operator
+    with EVENT-TIME timeouts (``applyInPandasWithState``) — the shape
+    built-in operators can't express when per-session state is richer
+    than a count.  Per key the state is the open session
+    ``(start, last, n)``; an arriving event either extends it or closes
+    it (gap exceeded ⇒ the closed session is EMITTED IMMEDIATELY, not
+    at watermark), and the state's timeout is re-armed at
+    ``last + gap`` in EVENT time, so a session with no successor closes
+    exactly when the watermark (max event time − ``delay``) passes its
+    gap deadline — at which point the state row is REMOVED (bounded
+    state: O(open sessions), observable via ``lastProgress``'s
+    ``stateOperators[].numRowsTotal``).
+
+    The streaming upgrade of the reference's flush-interval close (B2,
+    sender.rs:40-55) for session- rather than wall-clock windows.
+    Returns the transformed (unstarted) DataFrame; the caller attaches
+    ``writeStream``.  Timestamps are emitted as microsecond-precision
+    strings so batch oracles can compare them byte-for-byte.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    gap_us = gap_s * 1_000_000
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def sessionize_fn(key_tuple, pdf_iter, state):
+        if state.hasTimedOut:
+            s0, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key_tuple[0], fmt(s0), fmt(last), n)],
+                columns=[key, "session_start", "session_end", "n_events"],
+            )
+            return
+        rows = pd.concat(list(pdf_iter))
+        stamps = sorted(t.value // 1000 for t in rows[ts])  # ns → µs
+        s0, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for t in stamps:
+            if last is None:
+                s0, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((key_tuple[0], fmt(s0), fmt(last), n))
+                s0, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((s0, last, n))
+        state.setTimeoutTimestamp((last + gap_us) // 1000)  # epoch ms
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[key, "session_start", "session_end", "n_events"],
+            )
+
+    return (
+        stream.withWatermark(ts, delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            sessionize_fn,
+            outputStructType=(
+                f"{key_ddl}, session_start string, session_end string, "
+                "n_events int"
+            ),
+            stateStructType="s0 long, last long, n int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_level_counts(spark: SparkSession, cfg: PipelineConfig,
                           pods: DataFrame, window: str = "1 minute",
                           watermark: str = "5 minutes"):

