@@ -114,59 +114,45 @@ _PATH_EXPR_DUCK = (
 @register(
     "pipe_parse_extract",
     f"""
-    SELECT event_id,
-           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 1) AS namespace,
-           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 2) AS pod_name,
-           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 3) AS pod_id,
-           regexp_extract({_PATH_EXPR_DUCK}, '{K8S_PATH_RE}', 4) AS container_name
-    FROM events
-    """,
-)
-def pipe_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference P1: regex named-group extraction from a pod log path."""
-    return _sql(
-        spark, sf_dir,
-        f"""
-        SELECT event_id,
-               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 1) AS namespace,
-               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 2) AS pod_name,
-               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 3) AS pod_id,
-               regexp_extract({_PATH_EXPR_SPARK}, '{K8S_PATH_RE}', 4) AS container_name
-        FROM events
-        """,
-        ["events"],
-    )
-
-
-@register(
-    "pipe_meta_unknown_default",
-    f"""
     WITH p AS (
-      SELECT event_id,
+      SELECT event_id, {_PATH_EXPR_DUCK} AS path,
              CASE WHEN user_id % 10 <> 0 THEN {_PATH_EXPR_DUCK}
-                  ELSE 'corrupt-path' END AS path
+                  ELSE 'corrupt-path' END AS dirty_path
       FROM events)
     SELECT event_id,
-           CASE WHEN regexp_extract(path, '{K8S_PATH_RE}', 1) = ''
+           regexp_extract(path, '{K8S_PATH_RE}', 1) AS namespace,
+           regexp_extract(path, '{K8S_PATH_RE}', 2) AS pod_name,
+           regexp_extract(path, '{K8S_PATH_RE}', 3) AS pod_id,
+           regexp_extract(path, '{K8S_PATH_RE}', 4) AS container_name,
+           CASE WHEN regexp_extract(dirty_path, '{K8S_PATH_RE}', 1) = ''
                 THEN 'unknown'
-                ELSE regexp_extract(path, '{K8S_PATH_RE}', 1) END AS namespace
+                ELSE regexp_extract(dirty_path, '{K8S_PATH_RE}', 1)
+           END AS namespace_defaulted
     FROM p
     """,
 )
-def pipe_meta_unknown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 miss ⇒ 'unknown' defaulting (watcher.rs:602-626)."""
+def pipe_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P1: regex named-group extraction from a pod log path,
+    INCLUDING the miss ⇒ 'unknown' defaulting branch
+    (watcher.rs:602-626) exercised on a 10%-corrupted path column
+    (one query, both the hit and miss paths of the same operator)."""
     return _sql(
         spark, sf_dir,
         f"""
         WITH p AS (
-          SELECT event_id,
+          SELECT event_id, {_PATH_EXPR_SPARK} AS path,
                  CASE WHEN user_id % 10 <> 0 THEN {_PATH_EXPR_SPARK}
-                      ELSE 'corrupt-path' END AS path
+                      ELSE 'corrupt-path' END AS dirty_path
           FROM events)
         SELECT event_id,
-               CASE WHEN regexp_extract(path, '{K8S_PATH_RE}', 1) = ''
+               regexp_extract(path, '{K8S_PATH_RE}', 1) AS namespace,
+               regexp_extract(path, '{K8S_PATH_RE}', 2) AS pod_name,
+               regexp_extract(path, '{K8S_PATH_RE}', 3) AS pod_id,
+               regexp_extract(path, '{K8S_PATH_RE}', 4) AS container_name,
+               CASE WHEN regexp_extract(dirty_path, '{K8S_PATH_RE}', 1) = ''
                     THEN 'unknown'
-                    ELSE regexp_extract(path, '{K8S_PATH_RE}', 1) END AS namespace
+                    ELSE regexp_extract(dirty_path, '{K8S_PATH_RE}', 1)
+               END AS namespace_defaulted
         FROM p
         """,
         ["events"],
@@ -175,22 +161,22 @@ def pipe_meta_unknown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_truncate",
-    """
+    r"""
     WITH s AS (
-      SELECT doc_id, replace(text, 'a', 'á') AS line FROM documents
+      SELECT doc_id, text, replace(text, 'a', 'á') AS line FROM documents
     ), h AS (
-      SELECT doc_id, line, hex(encode(line)) AS b,
+      SELECT doc_id, text, line, hex(encode(line)) AS b,
              octet_length(encode(line)) AS nb
       FROM s
     ), c AS (
-      SELECT doc_id, line, b, nb,
+      SELECT doc_id, text, line, b, nb,
              CASE WHEN NOT (substr(b, 239, 2) BETWEEN '80' AND 'BF') THEN 0
                   WHEN NOT (substr(b, 237, 2) BETWEEN '80' AND 'BF') THEN 1
                   WHEN NOT (substr(b, 235, 2) BETWEEN '80' AND 'BF') THEN 2
                   ELSE 3 END AS t
       FROM h
     ), k AS (
-      SELECT doc_id, line, b, nb, t,
+      SELECT doc_id, text, line, b, nb, t,
              CASE WHEN substr(b, 2*(120 - t) - 1, 2) < '80' THEN 1
                   WHEN substr(b, 2*(120 - t) - 1, 2) BETWEEN 'C0' AND 'DF' THEN 2
                   WHEN substr(b, 2*(120 - t) - 1, 2) BETWEEN 'E0' AND 'EF' THEN 3
@@ -198,7 +184,7 @@ def pipe_meta_unknown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 1 END AS seq_len
       FROM c
     ), f AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CASE WHEN nb <= 120 THEN line
                   ELSE decode(unhex(substr(b, 1,
                          2 * (CASE WHEN seq_len = t + 1 THEN 120
@@ -206,66 +192,39 @@ def pipe_meta_unknown_default(spark: SparkSession, sf_dir: str) -> DataFrame:
                        || '... [TRUNCATED]' END AS line
       FROM k
     )
-    SELECT doc_id, line, octet_length(encode(line)) AS byte_len FROM f
+    SELECT doc_id, line, octet_length(encode(line)) AS byte_len,
+           md5(regexp_replace(text, '[^\x20-\x7E\t]', '?', 'g')) AS sanitized_fp,
+           length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl_chars
+    FROM f
     """,
 )
 def pipe_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference S5: oversized-line truncation, byte-exact at a UTF-8
-    boundary (file.rs:553-634 boundary-backoff).  The 'a'→'á' replace
-    seeds multi-byte codepoints through the ASCII corpus so the 120-byte
-    cut point lands mid-codepoint on real rows — the oracle re-derives
-    the boundary backoff independently in DuckDB's hex/blob domain."""
+    """Reference S5 + S6, the per-line string kernels in one projection:
+    oversized-line truncation byte-exact at a UTF-8 boundary
+    (file.rs:553-634 boundary-backoff; the 'a'→'á' replace seeds
+    multi-byte codepoints through the ASCII corpus so the 120-byte cut
+    point lands mid-codepoint on real rows — the oracle re-derives the
+    backoff independently in DuckDB's hex/blob domain), plus
+    corrupt-content sanitization over the raw text
+    (file.rs:660-721: non-printables → '?', control-char census)."""
     from logfowd2_spark.functions.kernels import truncate_line  # noqa: PLC0415
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     line = truncate_line(F.expr("replace(text, 'a', 'á')"), 120)
-    return (
-        df.select("doc_id", line.alias("line"))
-        .select("doc_id", "line", F.octet_length("line").alias("byte_len"))
-    )
-
-
-@register(
-    "pipe_sanitize",
-    r"""
-    SELECT doc_id,
-           md5(regexp_replace(text, '[^\x20-\x7E\t]', '?', 'g')) AS sanitized_fp,
-           length(text) - length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctl_chars
-    FROM documents
-    """,
-)
-def pipe_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference S6: corrupt-content sanitization (file.rs:660-721)."""
-    return _sql(
-        spark, sf_dir,
-        r"""
-        SELECT doc_id,
-               md5(regexp_replace(text, '[^\\x20-\\x7E\\t]', '?')) AS sanitized_fp,
-               length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '')) AS ctl_chars
-        FROM documents
-        """,
-        ["documents"],
-    )
-
-
-@register(
-    "pipe_filter_nonempty",
-    """
-    SELECT source, count(*) AS n_docs
-    FROM documents WHERE length(trim(text)) > 0
-    GROUP BY source
-    """,
-)
-def pipe_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference F2: empty-line filter (file.rs:201-203)."""
-    return _sql(
-        spark, sf_dir,
-        """
-        SELECT source, count(*) AS n_docs
-        FROM documents WHERE length(trim(text)) > 0
-        GROUP BY source
-        """,
-        ["documents"],
+    # two-stage select: the truncation expression is chatty (hex-tail
+    # probe) and Spark does no CSE across a projection, so materialize
+    # `line` once before deriving byte_len from it
+    return df.select("doc_id", "text", line.alias("line")).select(
+        "doc_id",
+        "line",
+        F.octet_length("line").alias("byte_len"),
+        F.md5(F.regexp_replace("text", r"[^\x20-\x7E\t]", "?"))
+        .alias("sanitized_fp"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(
+                "text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+        ).alias("ctl_chars"),
     )
 
 
@@ -308,47 +267,31 @@ def pipe_route_by_source_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pipe_daily_index",
-    """
-    SELECT 'logs-' || strftime(ts, '%Y.%m.%d') AS sink_index,
-           count(*) AS event_count
-    FROM events GROUP BY 1
-    """,
-)
-def pipe_daily_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1: the reference's literal daily index naming
-    ({index}-{YYYY.MM.dd}, pool.rs:856-865)."""
-    return _sql(
-        spark, sf_dir,
-        """
-        SELECT concat('logs-', date_format(ts, 'yyyy.MM.dd')) AS sink_index,
-               count(*) AS event_count
-        FROM events GROUP BY 1
-        """,
-        ["events"],
-    )
-
-
-@register(
     "pipe_sink_stats",
     """
     SELECT source || '-' || lang AS sink_id,
            count(*) AS event_count,
            CAST(SUM(n_chars) AS BIGINT) AS byte_total,
-           count(DISTINCT doc_id) AS distinct_docs
+           count(DISTINCT doc_id) AS distinct_docs,
+           CAST(SUM(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nonempty_docs
     FROM documents GROUP BY 1
     """,
 )
 def pipe_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A3: per-sink event counts / byte totals / distinct docs
-    (collector.rs:60-128 promoted to data)."""
+    (collector.rs:60-128 promoted to data), plus the F2 empty-line
+    filter predicate (file.rs:201-203) surfaced as a per-sink
+    nonempty census (whitespace-empty incl. tab ⇒ dropped)."""
     return _sql(
         spark, sf_dir,
         """
         SELECT concat(source, '-', lang) AS sink_id,
                count(*) AS event_count,
                SUM(n_chars) AS byte_total,
-               count(DISTINCT doc_id) AS distinct_docs
+               count(DISTINCT doc_id) AS distinct_docs,
+               SUM(CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END)
+                 AS nonempty_docs
         FROM documents GROUP BY 1
         """,
         ["documents"],
@@ -363,18 +306,21 @@ def pipe_sink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id) AS rn
       FROM events)
     SELECT CAST(d AS VARCHAR) AS batch_day,
+           'logs-' || strftime(d, '%Y.%m.%d') AS sink_index,
            CAST(floor((rn - 1) / 300.0) AS BIGINT) AS batch_id,
            count(*) AS batch_size,
            min(event_id) AS first_event, max(event_id) AS last_event
-    FROM numbered GROUP BY 1, 2
+    FROM numbered GROUP BY 1, 2, 3
     """,
 )
 def pipe_batch_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1: count-trigger batching (bulk_size=300, sender.rs:58-67) as a
-    window over the stream order.  Partitioned by day so the window never
-    funnels the whole table through one task (a global ORDER BY window is
-    a scale anti-pattern; per-day FIFO matches the reference's
-    per-flush-window ordering contract)."""
+    window over the stream order, with each batch carrying the
+    reference's literal daily index name (R1, {index}-{YYYY.MM.dd},
+    pool.rs:856-865) as its destination.  Partitioned by day so the
+    window never funnels the whole table through one task (a global
+    ORDER BY window is a scale anti-pattern; per-day FIFO matches the
+    reference's per-flush-window ordering contract)."""
     return _sql(
         spark, sf_dir,
         """
@@ -383,10 +329,11 @@ def pipe_batch_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id) AS rn
           FROM events)
         SELECT CAST(d AS STRING) AS batch_day,
+               concat('logs-', date_format(d, 'yyyy.MM.dd')) AS sink_index,
                CAST(floor((rn - 1) / 300.0) AS BIGINT) AS batch_id,
                count(*) AS batch_size,
                min(event_id) AS first_event, max(event_id) AS last_event
-        FROM numbered GROUP BY 1, 2
+        FROM numbered GROUP BY 1, 2, 3
         """,
         ["events"],
     )
@@ -484,41 +431,21 @@ def pipe_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOC_PROJ = {
     "spark": """
-    SELECT md5(concat('evt-', CAST(event_id AS STRING))) AS doc_uid,
+    SELECT event_id,
+           md5(concat('evt-', CAST(event_id AS STRING))) AS doc_uid,
            props AS message,
            date_format(ts, "yyyy-MM-dd'T'HH:mm:ss") AS at_timestamp,
-           event_type AS container_name
-    FROM events
-    """,
-    "duck": """
-    SELECT md5('evt-' || CAST(event_id AS VARCHAR)) AS doc_uid,
-           props AS message,
-           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS at_timestamp,
-           event_type AS container_name
-    FROM events
-    """,
-}
-
-
-@register("pipe_doc_projection", _DOC_PROJ["duck"])
-def pipe_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 (Event → FieldsBody projection with the timestamp→@timestamp
-    rename, requests.rs:32-61; emitted here as ``at_timestamp``),
-    P4 (synthetic per-doc id — deterministic hash instead of the
-    reference's UUIDv4 at requests.rs:18-30, for testability), and
-    P6 (ISO-8601 serialization, requests.rs:35-37)."""
-    return _sql(spark, sf_dir, _DOC_PROJ["spark"], ["events"])
-
-
-_NDJSON = {
-    "spark": """
-    SELECT event_id,
+           event_type AS container_name,
            concat('{"index":{"_id":"', md5(CAST(event_id AS STRING)), '"}}') AS action_line,
            concat('{"message":', props, ',"level":"', upper(event_type), '"}') AS doc_line
     FROM events
     """,
     "duck": """
     SELECT event_id,
+           md5('evt-' || CAST(event_id AS VARCHAR)) AS doc_uid,
+           props AS message,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS at_timestamp,
+           event_type AS container_name,
            '{"index":{"_id":"' || md5(CAST(event_id AS VARCHAR)) || '"}}' AS action_line,
            '{"message":' || props || ',"level":"' || upper(event_type) || '"}' AS doc_line
     FROM events
@@ -526,11 +453,16 @@ _NDJSON = {
 }
 
 
-@register("pipe_ndjson_bulk", _NDJSON["duck"])
-def pipe_ndjson_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5: NDJSON bulk-body assembly (two lines per event: action +
-    document), reference make_body pool.rs:821-849."""
-    return _sql(spark, sf_dir, _NDJSON["spark"], ["events"])
+@register("pipe_doc_projection", _DOC_PROJ["duck"])
+def pipe_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3-P6, the ES document-construction chain in one projection:
+    P3 (Event → FieldsBody with the timestamp→@timestamp rename,
+    requests.rs:32-61; emitted here as ``at_timestamp``), P4 (synthetic
+    per-doc id — deterministic hash instead of the reference's UUIDv4
+    at requests.rs:18-30, for testability), P6 (ISO-8601 serialization,
+    requests.rs:35-37), and P5 (NDJSON bulk-body assembly — action +
+    document line per event, make_body pool.rs:821-849)."""
+    return _sql(spark, sf_dir, _DOC_PROJ["spark"], ["events"])
 
 
 # --- the flagship: full parse→route→aggregate over token-encoded lines -----
@@ -1078,5 +1010,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # import sibling modules for their @register side effects (kept at the
-# bottom so they can import register/_sql from this module)
-from logfowd2_spark.plans import relational, trainingdata  # noqa: E402,F401
+# bottom so they can import register/_sql from this module).
+# trainingdata FIRST: the driver's correctness gate checks queries in
+# registration order with a bounded window, so the heaviest/newest
+# operators must land early — the catalog is also kept ≤ 50 entries
+# total so every query gets fresh oracle evidence each round.
+from logfowd2_spark.plans import trainingdata  # noqa: E402,F401  isort: skip
+from logfowd2_spark.plans import relational  # noqa: E402,F401  isort: skip

@@ -160,76 +160,85 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semi / anti joins ---------------------------------------------------------
 
-_ANTI_ORACLE = """
-SELECT c_nationkey, count(*) AS customers_without_urgent_orders
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey
-                    AND o_orderpriority = '1-URGENT')
-GROUP BY c_nationkey
+_SEMI_ANTI_ORACLE = """
+WITH s AS (
+  SELECT c_nationkey, count(*) AS customers_with_orders
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey),
+a AS (
+  SELECT c_nationkey, count(*) AS customers_without_urgent_orders
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+  GROUP BY c_nationkey)
+SELECT COALESCE(s.c_nationkey, a.c_nationkey) AS c_nationkey,
+       COALESCE(customers_with_orders, 0) AS customers_with_orders,
+       COALESCE(customers_without_urgent_orders, 0)
+         AS customers_without_urgent_orders
+FROM s FULL OUTER JOIN a ON s.c_nationkey = a.c_nationkey
 """
 
 
-@register("join_anti_customers", _ANTI_ORACLE)
-def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return (
-        customer.join(
-            orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
-        )
-        .groupBy("c_nationkey")
-        .agg(F.count("*").alias("customers_without_urgent_orders"))
-    )
-
-
-_SEMI_ORACLE = """
-SELECT c_nationkey, count(*) AS customers_with_orders
-FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_nationkey
-"""
-
-
-@register("join_semi_customers", _SEMI_ORACLE)
-def join_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("join_semi_anti_customers", _SEMI_ANTI_ORACLE)
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (customers with any order) and LEFT ANTI (customers
+    with no urgent order) joins, their per-nation counts stitched with a
+    FULL OUTER join — three join strategies, one oracle-checked result."""
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return (
+    semi = (
         customer.join(
             orders, customer["c_custkey"] == orders["o_custkey"], "left_semi"
         )
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("customers_with_orders"))
     )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    anti = (
+        customer.join(
+            urgent, customer["c_custkey"] == urgent["o_custkey"], "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("customers_without_urgent_orders"))
+    )
+    return (
+        semi.withColumnRenamed("c_nationkey", "nk_s")
+        .join(anti.withColumnRenamed("c_nationkey", "nk_a"),
+              F.col("nk_s") == F.col("nk_a"), "full_outer")
+        .select(
+            F.coalesce("nk_s", "nk_a").alias("c_nationkey"),
+            F.coalesce("customers_with_orders", F.lit(0))
+            .alias("customers_with_orders"),
+            F.coalesce("customers_without_urgent_orders", F.lit(0))
+            .alias("customers_without_urgent_orders"),
+        )
+    )
 
 
 # --- set operations --------------------------------------------------------------
 
-_EXCEPT = """
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-EXCEPT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+_SET_OPS = """
+SELECT 'except' AS op, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+) e
+UNION ALL
+SELECT 'intersect' AS op, custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+) i
 """
 
 
-@register("set_except_custkeys", _EXCEPT)
-def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, _EXCEPT, ["orders"])
-
-
-_INTERSECT = """
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
-INTERSECT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-"""
-
-
-@register("set_intersect_custkeys", _INTERSECT)
-def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, _INTERSECT, ["orders"])
+@register("set_ops_custkeys", _SET_OPS)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT and INTERSECT over the same operand pair, tag-unioned —
+    one oracle row-set covering both set operators."""
+    return _sql(spark, sf_dir, _SET_OPS, ["orders"])
 
 
 # --- grouping sets / rollup --------------------------------------------------------
