@@ -77,18 +77,20 @@ class PipelineConfig:
     # dead_letter_queue.rs:84-94: max_queue_size=10_000 + pop_front)
     dlq_max_size: int = 10_000
 
-    # --- codec path: "arrow" (default) decodes tokens via the mapInArrow
-    # buffer kernel — true multi-byte UTF-8 with the reference's full
-    # byte-level sanitize (incl. lossy U+FFFD) fused into the decode, and
-    # the fastest path (the arrays cross the Arrow boundary once and die
-    # there; measured ~20% faster than the JVM decode at 16 cores).
-    # "jvm" is the pure whole-stage-codegen chr() mapping: ASCII-exact,
-    # zero Python workers — the opt-in for clusters where Python worker
-    # provisioning is constrained OR CPU headroom is scarce: the arrow
-    # path's JVM+Python pipelining uses up to ~2 cores per task slot
-    # (fastest with dedicated executor cores, degrades ~2x faster than
-    # the jvm codec on an oversubscribed host — BENCH/NOTES.md).
-    codec: str = "arrow"
+    # --- codec path.  "arrow" decodes tokens via the mapInArrow buffer
+    # kernel — true multi-byte UTF-8 with the reference's full byte-level
+    # sanitize (incl. lossy U+FFFD) fused into the decode; fastest WITH
+    # dedicated executor cores (the arrays cross the Arrow boundary once
+    # and die there), but its JVM+Python pipelining uses up to ~2 host
+    # cores per task slot, so it degrades ~2x faster than the jvm codec
+    # when local[N] ≈ host cores (BENCH/NOTES.md).  "jvm" is the pure
+    # whole-stage-codegen chr() mapping: ASCII-exact, zero Python
+    # workers, all compute inside task-slot accounting.  "auto" (the
+    # default) resolves per run via ``resolve_codec``: arrow only when
+    # the host has the ~2-cores-per-slot headroom arrow needs, else jvm
+    # — so the default path wins on both dedicated-core clusters and
+    # oversubscribed hosts.
+    codec: str = "auto"
 
     # --- sink fault injection (reference transient-error taxonomy,
     # pool.rs:165-313: timeout/429/5xx are retryable; error.rs:28-62).
@@ -130,8 +132,8 @@ class PipelineConfig:
             raise ValueError("index_name must be lowercase with no whitespace")
         if not self.routes:
             raise ValueError("routes must not be empty")
-        if self.codec not in ("jvm", "arrow"):
-            raise ValueError("codec must be 'jvm' or 'arrow'")
+        if self.codec not in ("auto", "jvm", "arrow"):
+            raise ValueError("codec must be 'auto', 'jvm' or 'arrow'")
         if self.commit_protocol not in ("rename", "put"):
             raise ValueError("commit_protocol must be 'rename' or 'put'")
         if self.dlq_max_size <= 0:
@@ -154,3 +156,27 @@ class PipelineConfig:
             raw = json.load(fh)
         routes = [tuple(r) for r in raw.pop("routes", DEFAULT_ROUTES)]
         return cls(routes=routes, **raw).validate()
+
+
+def resolve_codec(codec: str, parallelism: int) -> str:
+    """Resolve codec='auto' against measured host headroom.
+
+    The arrow path pipelines a JVM task thread with a Python worker per
+    task slot — roughly 2 host cores per slot of concurrent demand that
+    local[N] task accounting doesn't see (BENCH/NOTES.md; the round-3
+    driver bench had arrow 3.2x slower than jvm at local[32] on a
+    32-core host, yet 30% faster at 16 slots on an idle 32-core host).
+    Pick arrow only when the host's spare cores cover that demand:
+    ``cpu_count - loadavg_1m >= 2 * parallelism``.  On a real cluster,
+    executors get dedicated cores and ``parallelism`` is the
+    per-executor core count, so the same rule selects arrow there.
+    Explicit 'jvm'/'arrow' pass through untouched.
+    """
+    if codec != "auto":
+        return codec
+    try:
+        host = os.cpu_count() or 0
+        load = os.getloadavg()[0]
+    except OSError:
+        return "jvm"
+    return "arrow" if host - load >= 2 * parallelism else "jvm"

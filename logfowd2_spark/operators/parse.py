@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from logfowd2_spark.codec import decode_tokens_sql, with_decoded_line
-from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.config import PipelineConfig, resolve_codec
 from logfowd2_spark.functions.kernels import (
     K8S_PATH_RE,
     sanitize_content,
@@ -78,7 +78,10 @@ def parse_stage(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     would multiply both by ~4× for zero information (the line itself is
     the decoded payload; tokens are re-derivable via the encode codec).
     """
-    if cfg.codec == "arrow":
+    codec = resolve_codec(
+        cfg.codec, df.sparkSession.sparkContext.defaultParallelism
+    )
+    if codec == "arrow":
         # true UTF-8 decode via Arrow batches (Python workers), with the
         # reference's BYTE-level sanitize fused into the same pass
         # (corrupted → '?'-replacement, invalid UTF-8 → lossy U+FFFD;

@@ -207,10 +207,21 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     )
 
     # recovered rows: same output shape as regular batches.  n_tok for a
-    # recovered row is the byte length of the re-parsed line (the codec
-    # is byte-level, so octet_length == the token count the encode UDF
-    # would produce — without building the array).
-    good = good.withColumn("n_tok", F.octet_length("line"))
+    # recovered row is the token count the encode codec would produce
+    # from the quarantined raw_line — without building the array.  The
+    # token:char mapping depends on which codec DECODED it: arrow is
+    # byte-level (octet_length), while the jvm codec mapped each input
+    # byte to one char, so bytes 0x80-0xFF became 2-byte UTF-8 chars and
+    # the token count is the CHAR count (F.length).  Resolve 'auto' the
+    # same way parse_stage does; for ASCII payloads the two agree, so an
+    # auto flip between quarantine and redrive cannot diverge there.
+    from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
+
+    codec = resolve_codec(
+        cfg.codec, spark.sparkContext.defaultParallelism
+    )
+    n_tok = F.length("line") if codec == "jvm" else F.octet_length("line")
+    good = good.withColumn("n_tok", n_tok)
     recovered = route_stage(enrich_stage(good, pods), cfg).drop("line", "body")
     out_dir = os.path.join(cfg.output_path, "routed", f"batch_id={tag}")
     rec_obs = Observation()

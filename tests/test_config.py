@@ -29,6 +29,32 @@ def test_invalid_rejected(kw):
         PipelineConfig(**kw).validate()
 
 
+def test_resolve_codec(monkeypatch):
+    """codec='auto' picks arrow only with ~2 free host cores per task
+    slot; explicit codecs pass through; probe failure degrades to jvm."""
+    import logfowd2_spark.config as cfgmod
+
+    assert cfgmod.resolve_codec("jvm", 4) == "jvm"
+    assert cfgmod.resolve_codec("arrow", 64) == "arrow"
+    monkeypatch.setattr(cfgmod.os, "cpu_count", lambda: 32)
+    monkeypatch.setattr(cfgmod.os, "getloadavg", lambda: (1.0, 0.0, 0.0))
+    assert cfgmod.resolve_codec("auto", 8) == "arrow"    # 31 free >= 16
+    assert cfgmod.resolve_codec("auto", 32) == "jvm"     # 31 free < 64
+    monkeypatch.setattr(cfgmod.os, "getloadavg", lambda: (20.0, 0.0, 0.0))
+    assert cfgmod.resolve_codec("auto", 8) == "jvm"      # 12 free < 16
+
+    def boom():
+        raise OSError("no loadavg on this platform")
+
+    monkeypatch.setattr(cfgmod.os, "getloadavg", boom)
+    assert cfgmod.resolve_codec("auto", 1) == "jvm"
+
+
+def test_invalid_codec_rejected():
+    with pytest.raises(ValueError):
+        PipelineConfig(codec="nope").validate()
+
+
 def test_load_from_json(tmp_path, monkeypatch):
     p = tmp_path / "cfg.json"
     p.write_text(json.dumps({"max_line_size": 512, "index_name": "logs"}))

@@ -108,11 +108,12 @@ def test_dlq_contents(spark, dataset, oracle):
 
 
 def test_jvm_codec_e2e_equivalence(spark, dataset, oracle):
-    """The opt-in jvm codec (pure-codegen chr decode + string-level
-    sanitize) must produce row-identical output to the default arrow
-    path on the synthetic corpus (whose corruption classes are ASCII,
-    where the byte- and string-level sanitize semantics provably
-    coincide)."""
+    """The explicit jvm codec (pure-codegen chr decode + string-level
+    sanitize) must produce row-identical output to the default
+    (auto-resolved) path on the synthetic corpus (whose corruption
+    classes are ASCII, where the byte- and string-level sanitize
+    semantics provably coincide) — which also makes any codec='auto'
+    resolution outcome row-equivalent here."""
     d, paths = dataset
     cfg = make_cfg(d, paths, "jvmc")
     cfg.codec = "jvm"
