@@ -325,8 +325,7 @@ def _capped_shingles(dialect: str) -> str:
                                         cap=SHINGLE_DF_CAP)
 
 
-_JACCARD_TMPL = """
-WITH {capped},
+_JACCARD_BODY = """
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS intersect_n
@@ -342,67 +341,92 @@ WHERE CAST(intersect_n AS DOUBLE) / (ca.n + cb.n - intersect_n) >= 0.2
 
 
 @register("ngram_jaccard_pairs",
-          _JACCARD_TMPL.format(capped=_capped_shingles("duck")))
+          "WITH " + _capped_shingles("duck") + "," + _JACCARD_BODY)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs over the DF-capped shingle
     universe.  Scale path: inverted-index self-join keyed on shingle;
     the DF cap bounds the quadratic candidate blowup of hot shingles
-    (AQE skew-join splits tasks, it doesn't shrink candidate counts)."""
-    return _sql(spark, sf_dir,
-                _JACCARD_TMPL.format(capped=_capped_shingles("spark")),
-                ["documents"])
+    (AQE skew-join splits tasks, it doesn't shrink candidate counts).
+    Reads the MATERIALIZED shingle table — one shingle build serves
+    this, the MinHash build, and every LSH verify in the session."""
+    _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
+    return spark.sql("WITH " + _JACCARD_BODY.lstrip())
 
 
 # --- MinHash + LSH (production shape: k=128 hashes, 32 bands × 4 rows) ------
 #
-# The hash family is md5(seed || '|' || shingle) with lexicographic min —
-# portable across Spark and DuckDB, so the full pipeline (signatures →
-# bands → candidate pairs → exact verify) is oracle-checked end to end.
-# At scale this is: one groupBy(doc_id) to build signatures (the 128
-# hashes are an array expression over the collected shingle set, not 128
-# aggregate columns), one explode(bands) + self-equi-join on band_key for
-# candidates (linear shuffle, no all-pairs), and an exact Jaccard verify
-# restricted to candidates.  With r=4, b=32 the catch probability at
-# jaccard j is 1-(1-j^4)^32: ≥0.874 at j=0.5, ≥0.9998 at j=0.7.
+# The full pipeline (signatures → bands → candidate pairs → exact
+# verify) is oracle-checked end to end; the hash family is identical
+# arithmetic in Spark and DuckDB.  At scale this is: one exploded
+# groupBy to build signatures, one explode(bands) + self-equi-join on
+# band_key for candidates (linear shuffle, no all-pairs), and an exact
+# Jaccard verify restricted to candidates.  With r=4, b=32 the catch
+# probability at jaccard j is 1-(1-j^4)^32: ≥0.874 at j=0.5, ≥0.9998
+# at j=0.7.
 
 MINHASH_K = 128
 LSH_BANDS = 32
 LSH_ROWS = 4
 LSH_VERIFY_THRESHOLD = 0.5
 
-# Engine-side signature build: explode shingles × 128 seeds and min-agg,
+# Signature build shape: explode (doc, shingle) × 128 seeds and min-agg,
 # NOT a nested array lambda — higher-order functions are CodegenFallback
 # (interpreted per element, measured ~19 µs/hash); the exploded form
-# keeps md5 inside whole-stage codegen (~0.2 µs) with map-side partial
-# min().  Semantically identical to the oracle's comprehension.
+# stays inside whole-stage codegen with map-side partial min().
+#
+# The hash family is the textbook k-permutation construction (Broder):
+# ONE strong base hash per shingle, split into two 28-bit halves
+# (h1, h2), and the k family members are the linear universal hashes
+# (h1 + i*h2) mod 2^31-1 (Mersenne prime).  This replaces k md5 calls
+# per (doc, shingle) — the round-3 hot loop, |shingles|×128 md5s — with
+# ONE md5 plus k multiply-adds, and shrinks the WRITTEN signature table
+# from 128×36 B of hex strings to 128×8 B of bigints (the round-3
+# durability upgrade made this intermediate a real disk write, so its
+# size is the minhash build's write+read cost).  28-bit halves keep
+# i*h2 < 2^35 — no BIGINT overflow in either engine.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
 _SIG_SPARK = f"""
+hs AS (
+  SELECT doc_id,
+         CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT) AS h1,
+         CAST(conv(substr(md5(shingle), 9, 7), 16, 10) AS BIGINT) AS h2
+  FROM sh),
 seeded AS (
-  SELECT doc_id, i,
-         min(md5(concat(CAST(i AS STRING), '|', shingle))) AS h
-  FROM sh CROSS JOIN (SELECT explode(sequence(0, {MINHASH_K - 1})) AS i)
+  SELECT doc_id, i, min((h1 + i * h2) % {MINHASH_PRIME}) AS h
+  FROM hs CROSS JOIN (SELECT explode(sequence(0, {MINHASH_K - 1})) AS i)
   GROUP BY doc_id, i),
 sig AS (SELECT doc_id,
   transform(array_sort(collect_list(struct(i, h))), x -> x.h) AS sg
   FROM seeded GROUP BY doc_id)
 """
 
-#: band hashes from an ALREADY-MATERIALIZED sg column (cheap slices)
+#: band hashes from an ALREADY-MATERIALIZED sg column (cheap slices;
+#: longs render as decimal strings — identical in both engines)
 _BANDS_EXPR = (
     f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
     f"md5(concat(CAST(b AS STRING), ':', "
-    f"concat_ws('', slice(sg, b * {LSH_ROWS} + 1, {LSH_ROWS}))))) AS bands"
+    f"concat_ws('', transform(slice(sg, b * {LSH_ROWS} + 1, {LSH_ROWS}), "
+    f"x -> CAST(x AS STRING)))))) AS bands"
 )
 
 _SIG_DUCK = f"""
-gs AS (SELECT doc_id, list(shingle) AS shs FROM sh GROUP BY doc_id),
-sig AS (SELECT doc_id,
-  list_transform(range(0, {MINHASH_K}), i ->
-    list_min(list_transform(shs, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sg
-  FROM gs),
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+         CAST(('0x' || substr(md5(shingle), 9, 7)) AS BIGINT) AS h2
+  FROM sh),
+seeded AS (
+  SELECT doc_id, i, min((h1 + i * h2) % {MINHASH_PRIME}) AS h
+  FROM hs CROSS JOIN range(0, {MINHASH_K}) t(i)
+  GROUP BY doc_id, i),
+sig AS (SELECT doc_id, list(h ORDER BY i) AS sg FROM seeded GROUP BY doc_id),
 banded AS (SELECT doc_id,
   list_transform(range(0, {LSH_BANDS}), b ->
     md5(CAST(b AS VARCHAR) || ':' ||
-        array_to_string(sg[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}], ''))) AS bands
+        array_to_string(list_transform(
+          sg[b * {LSH_ROWS} + 1 : b * {LSH_ROWS} + {LSH_ROWS}],
+          x -> CAST(x AS VARCHAR)), ''))) AS bands
   FROM sig)
 """
 
@@ -478,7 +502,13 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 def _write_intermediate(df: DataFrame, spark: SparkSession,
                         key: tuple[str, str], name: str) -> DataFrame:
     """Write ``df`` as a first-class parquet intermediate and return a
-    DataFrame that SCANS the written table (lineage = one file scan)."""
+    DataFrame that SCANS the written table (lineage = one file scan).
+
+    No read-back repartition: the upstream plans write one file per
+    shuffle partition, so the scan already splits across the open-cost
+    buckets, the heavy downstream stages re-parallelize at their own
+    shuffles, and an A/B measurement showed an extra Exchange here is a
+    straight ~1 s/query loss at sf0.1."""
     import re as _re
 
     app, sf_dir = key
@@ -547,7 +577,7 @@ def _exploded_bands(sig: DataFrame) -> DataFrame:
 
 _MINHASH_OUT_SPARK = f"""
 SELECT doc_id,
-       md5(concat_ws('', sg)) AS sig_fp,
+       md5(concat_ws('', transform(sg, x -> CAST(x AS STRING)))) AS sig_fp,
        element_at(sg, 1) AS h_first,
        element_at(sg, {MINHASH_K}) AS h_last,
        size(sg) AS k
@@ -556,7 +586,8 @@ FROM sig
 
 _MINHASH_OUT_DUCK = f"""
 SELECT doc_id,
-       md5(array_to_string(sg, '')) AS sig_fp,
+       md5(array_to_string(list_transform(sg, x -> CAST(x AS VARCHAR)), ''))
+         AS sig_fp,
        sg[1] AS h_first,
        sg[{MINHASH_K}] AS h_last,
        len(sg) AS k
@@ -567,16 +598,16 @@ FROM sig
 @register("minhash_signatures",
           f"WITH {_sig_ctes('duck')} {_MINHASH_OUT_DUCK}")
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=128 MinHash signatures as ONE array expression per document
-    (seeded md5 family, lexicographic min).  Output is the signature
-    fingerprint + first/last hash (the 128-wide array itself is
-    engine-checked via its fingerprint).  Computed off the materialized
-    signature table so the four output projections don't each re-run
-    the hash family."""
+    """k=128 MinHash signatures per document (Broder k-permutation
+    family: one md5 per shingle, k linear universal hashes mod 2^31-1).
+    Output is the signature fingerprint + first/last hash (the 128-wide
+    array itself is engine-checked via its fingerprint).  Computed off
+    the materialized signature table so the four output projections
+    don't each re-run the hash family."""
     sig = _materialized_sig(spark, sf_dir)
     return sig.selectExpr(
         "doc_id",
-        "md5(concat_ws('', sg)) AS sig_fp",
+        "md5(concat_ws('', transform(sg, x -> CAST(x AS STRING)))) AS sig_fp",
         "element_at(sg, 1) AS h_first",
         f"element_at(sg, {MINHASH_K}) AS h_last",
         "size(sg) AS k",

@@ -64,11 +64,16 @@ def test_parse_stays_in_codegen_jvm_codec(env):
 
 
 def test_default_codec_single_arrow_node(env):
-    """The default (arrow) codec pays exactly ONE Python boundary — the
-    decode kernel; everything after it (parse/enrich/route) stays JVM-side
-    in codegen, and no row-at-a-time Python node exists anywhere."""
+    """The arrow codec pays exactly ONE Python boundary — the decode
+    kernel; everything after it (parse/enrich/route) stays JVM-side in
+    codegen, and no row-at-a-time Python node exists anywhere.  (The
+    shipped default is codec='auto', which resolves to this path
+    whenever the host has arrow's per-slot core headroom.)"""
+    import dataclasses
+
     df, pods, cfg = env
-    assert cfg.codec == "arrow"
+    assert cfg.codec == "auto"  # the shipped default
+    cfg = dataclasses.replace(cfg, codec="arrow")
     routed, _ = transform_batch(df, pods, cfg)
     routed.collect()
     # AQE prints '== Final Plan ==' then '== Initial Plan =='; count in
@@ -140,7 +145,7 @@ def test_lsh_reads_durable_signature_table(spark):
     # the leaf is a parquet scan of the written (doc_id, sg) table
     # (paths truncate in the plan string, so match the scan schema)
     assert "Parquet" in plan
-    assert "ReadSchema: struct<doc_id:bigint,sg:array<string>>" in plan
+    assert "ReadSchema: struct<doc_id:bigint,sg:array<bigint>>" in plan
     # the k×|shingles| hash build is absent: no re-hash per query
     assert "sequence(0, 127" not in plan
 
