@@ -18,10 +18,16 @@ story differs by filesystem:
   atomicity: the staged directory (with a ``_COMMIT_READY`` marker
   naming every file) is the source of truth until the live directory is
   fully populated and the stage deleted; ``recover()`` replays any stage
-  whose marker still exists.  This is the plan-B stand-in for the plan-A
-  answer (an Iceberg-style metadata-pointer commit, SURVEY.md §7 risk d);
-  it gives durability/no-loss, while reader *isolation* during the swap
-  window remains the table format's job.
+  whose marker still exists.
+
+Reader ISOLATION across in-place rewrites comes from the third layer,
+``manifest_swap`` + ``_FILES.json`` (below): batch dirs carry a file
+manifest that readers resolve instead of listing the directory, and a
+compaction commits by atomically flipping that pointer — the
+Iceberg-style metadata-pointer commit SURVEY.md §7 named as plan-A
+(risk d), completed here on the plain parquet layout.  The committers
+remain the per-file/per-directory durability primitives underneath it
+(``RenameCommitter.swap`` stays for recovering pre-manifest layouts).
 
 Both protocols name their transient directories with a leading
 underscore (``_old_<name>``, ``_stage_<name>``) so Spark's partition
@@ -79,18 +85,42 @@ def _atomic_put_file(dst: str, data: bytes | None = None,
     DLQ trim publishes parquet files this way), or ``data`` for small
     in-memory payloads (markers).  ``preserve_mtime_of`` copies that
     file's mtime onto the published file (the DLQ's drop-oldest order
-    derives generation age from file mtimes)."""
+    derives generation age from file mtimes).
+
+    Power-loss durability: the temp file is fsynced before the rename
+    and the destination directory entry after it — without these a
+    journaling fs can persist a LATER delete (e.g. the DLQ trim's
+    removal of the replaced original) while this put is still only in
+    the page cache, which is exactly the lost-data window the commit
+    seam exists to close."""
     tmp = os.path.join(os.path.dirname(dst), ".put-" + os.path.basename(dst))
     if src_path is not None:
         with open(src_path, "rb") as fi, open(tmp, "wb") as fo:
             shutil.copyfileobj(fi, fo)
+            fo.flush()
+            os.fsync(fo.fileno())
     else:
         with open(tmp, "wb") as fo:
             fo.write(data or b"")
+            fo.flush()
+            os.fsync(fo.fileno())
     if preserve_mtime_of is not None:
         m = os.path.getmtime(preserve_mtime_of)
         os.utime(tmp, (m, m))
     os.replace(tmp, dst)
+    _fsync_dir(os.path.dirname(dst))
+
+
+def _fsync_dir(path: str) -> None:
+    """Durably persist a directory's entries (rename/create/delete)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return  # platform without directory fds — best effort
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _list_files(root: str) -> list[str]:
@@ -134,14 +164,28 @@ class RenameCommitter:
     def recover(self, root: str) -> list[str]:
         """Heal interrupted swaps under ``root``: an ``_old_<name>``
         without a live ``<name>`` is restored; with one, it is
-        completed-swap debris and dropped.  Stale stages are always
-        safe to drop (their swap never started)."""
+        completed-swap debris and dropped.  A stage is only discardable
+        debris when it carries NO commit marker — a commit-ready stage
+        from the put or manifest protocol (pipeline restarted under a
+        different commit_protocol) may be the ONLY copy of the data, so
+        it is replayed, never deleted (round-3 advice: unconditional
+        stage rmtree here silently destroyed committed put-protocol
+        data on a protocol switch)."""
         healed: list[str] = []
         if not os.path.isdir(root):
             return healed
         for name in sorted(os.listdir(root)):
             if name.startswith(STAGE_PREFIX):
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                staged = os.path.join(root, name)
+                live = os.path.join(root, _demangle(name[len(STAGE_PREFIX):]))
+                if os.path.exists(os.path.join(staged, PUBLISH_MARKER)):
+                    _publish_from_marker(self, staged, live)
+                    healed.append(live)
+                elif os.path.exists(os.path.join(staged, PutCommitter.MARKER)):
+                    PutCommitter()._replay(staged, live)
+                    healed.append(live)
+                else:
+                    shutil.rmtree(staged, ignore_errors=True)
                 continue
             if not name.startswith(OLD_PREFIX):
                 continue
@@ -229,31 +273,184 @@ class PutCommitter:
         self._replay(canonical, live)
 
     def move_files(self, src: str, dst: str) -> None:
+        """Copy-then-delete per file.  Destination names equal the
+        (unique, deterministic) source part-file names and an
+        already-present destination is skipped, so retrying the SAME
+        interrupted move is idempotent — a crash between copy and delete
+        re-presents at most that one file's rows until the batch rerun
+        clears both dirs (the documented at-least-once DLQ window)."""
         os.makedirs(dst, exist_ok=True)
         for fname in sorted(os.listdir(src)):
             if fname.startswith((".", "_")):
                 continue
-            self._put_copy(os.path.join(src, fname), os.path.join(dst, fname))
+            target = os.path.join(dst, fname)
+            if not os.path.exists(target):
+                self._put_copy(os.path.join(src, fname), target)
             os.remove(os.path.join(src, fname))
 
     def recover(self, root: str) -> list[str]:
         """Replay (marker present) or discard (no marker: the stage never
         reached commit-ready, so live was never touched) every
-        interrupted stage under ``root``."""
+        interrupted stage under ``root``.  Also heals the OTHER
+        protocols' artifacts left by a restart under a different
+        commit_protocol: manifest-protocol stages are replayed from
+        their publish marker, and a rename-protocol ``_old_<name>``
+        whose live dir is missing is the only copy of that data — it is
+        restored (copy, not rename: this committer stays rename-free)."""
         healed: list[str] = []
         if not os.path.isdir(root):
             return healed
         for name in sorted(os.listdir(root)):
+            full = os.path.join(root, name)
+            if name.startswith(OLD_PREFIX):
+                live = os.path.join(root, _demangle(name[len(OLD_PREFIX):]))
+                if not os.path.isdir(live):
+                    for rel in _list_files(full):
+                        self._put_copy(os.path.join(full, rel),
+                                       os.path.join(live, rel))
+                    healed.append(live)
+                self._delete_tree(full)
+                continue
             if not name.startswith(STAGE_PREFIX):
                 continue
-            staged = os.path.join(root, name)
+            staged = full
             live = os.path.join(root, _demangle(name[len(STAGE_PREFIX):]))
-            if os.path.exists(os.path.join(staged, self.MARKER)):
+            if os.path.exists(os.path.join(staged, PUBLISH_MARKER)):
+                _publish_from_marker(self, staged, live)
+                healed.append(live)
+            elif os.path.exists(os.path.join(staged, self.MARKER)):
                 self._replay(staged, live)
                 healed.append(live)
             else:
                 self._delete_tree(staged)
         return healed
+
+
+# ---------------------------------------------------------------------------
+# Manifest-pointer table commits (the Iceberg-style plan-A read path)
+# ---------------------------------------------------------------------------
+#
+# A committed batch directory carries a ``_FILES.json`` manifest naming
+# its data files.  Readers that resolve file lists through the manifest
+# (read_routed / read_routed_as_of) get SNAPSHOT ISOLATION across
+# in-place rewrites: a compaction publishes its replacement files under
+# fresh unique names ALONGSIDE the old generation, then flips the
+# manifest with one atomic single-object put — the commit point — and
+# only afterwards vacuums the unreferenced old files.  A reader that
+# resolved before the flip keeps reading the old generation's files; one
+# that resolves after sees exactly the new ones; no reader ever sees a
+# mix.  (On a real object store the vacuum would be deferred by a
+# retention window, exactly like Iceberg snapshot expiry / Delta VACUUM;
+# locally ``manifest_swap`` vacuums immediately by default so footer
+# walks keep counting one generation.)
+#
+# The swap uses ONLY put/delete/list + the atomic single-file publish —
+# no renames — so the SAME protocol is correct under both committers.
+
+FILE_MANIFEST = "_FILES.json"
+PUBLISH_MARKER = "_PUBLISH_READY"
+
+
+def data_files(root: str) -> list[str]:
+    """Relative paths of the data files under ``root`` (what a manifest
+    names): parquet only, hidden/underscore names skipped at every
+    level — mirrors Spark's own listing rules."""
+    out: list[str] = []
+    for r, dirs, files in os.walk(root):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(r, fn), root))
+    return sorted(out)
+
+
+def read_file_manifest(live: str) -> dict | None:
+    """The committed file manifest of a batch dir, or None (legacy dirs
+    written before manifests, or foreign layouts — callers fall back to
+    directory listing, which is correct whenever no rewrite is racing)."""
+    path = os.path.join(live, FILE_MANIFEST)
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def write_file_manifest(committer, live: str, files: list[str],
+                        generation: int = 0) -> None:
+    """Atomically (re)publish ``live``'s manifest — the commit point of
+    every generation flip."""
+    committer.put_file(
+        os.path.join(live, FILE_MANIFEST),
+        json.dumps({"generation": generation, "files": files}).encode(),
+    )
+
+
+def vacuum_unreferenced(live: str) -> list[str]:
+    """Delete data files the current manifest does not reference (the
+    superseded generation).  Returns the removed relative paths.  No-op
+    without a manifest."""
+    man = read_file_manifest(live)
+    if man is None:
+        return []
+    keep = set(man["files"])
+    removed = []
+    for rel in data_files(live):
+        if rel not in keep:
+            os.remove(os.path.join(live, rel))
+            removed.append(rel)
+    # drop now-empty partition dirs so listings don't accumulate husks
+    for r, dirs, files in os.walk(live, topdown=False):
+        if r != live and not dirs and not files:
+            try:
+                os.rmdir(r)
+            except OSError:
+                pass
+    return removed
+
+
+def _publish_from_marker(committer, staged: str, live: str,
+                         vacuum: bool = True) -> None:
+    """Steps 2-5 of ``manifest_swap`` — idempotent, replayable from the
+    marker after a crash at any point."""
+    with open(os.path.join(staged, PUBLISH_MARKER)) as fh:
+        marker = json.load(fh)
+    for rel in marker["files"]:
+        dst = os.path.join(live, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        committer.put_file(dst, src_path=os.path.join(staged, rel))
+    write_file_manifest(committer, live, marker["files"],
+                        marker["generation"])
+    shutil.rmtree(staged, ignore_errors=True)
+    if vacuum:
+        vacuum_unreferenced(live)
+
+
+def manifest_swap(committer, live: str, staged: str,
+                  vacuum: bool = True) -> None:
+    """Replace ``live``'s data with ``staged``'s via a manifest flip:
+
+    1. put ``<stage>/_PUBLISH_READY`` (files + next generation) — from
+       here the swap is committed-to and replayable;
+    2. put each staged file into ``live`` under its (unique) name —
+       invisible to manifest readers until step 3;
+    3. put ``live/_FILES.json`` naming exactly the new files — the
+       ATOMIC commit point for every reader;
+    4. delete the stage;
+    5. vacuum the superseded generation (immediately here; deferred by
+       a retention window on a shared object store).
+
+    Unlike the directory-swap protocols, readers holding the old
+    manifest keep a complete, undisturbed old generation until step 5.
+    """
+    man = read_file_manifest(live)
+    gen = (man["generation"] + 1) if man else 1
+    files = [f for f in data_files(staged)]
+    committer.put_file(
+        os.path.join(staged, PUBLISH_MARKER),
+        json.dumps({"generation": gen, "files": files}).encode(),
+    )
+    _publish_from_marker(committer, staged, live, vacuum=vacuum)
 
 
 COMMITTERS = {"rename": RenameCommitter, "put": PutCommitter}

@@ -30,25 +30,41 @@ def committed_batch_ids(cfg: PipelineConfig) -> list[str]:
     return list(man.batches.keys())  # insertion order == commit order
 
 
+def resolve_batch_paths(root: str, batch_id: str) -> list[str]:
+    """The scan paths for one batch dir: resolved through its committed
+    ``_FILES.json`` manifest when present (snapshot-isolated against a
+    concurrent compaction's generation flip — streaming/commit.py), else
+    the directory itself (legacy dirs; correct whenever no rewrite is
+    racing)."""
+    from logfowd2_spark.streaming.commit import read_file_manifest  # noqa: PLC0415
+
+    d = os.path.join(root, f"batch_id={batch_id}")
+    man = read_file_manifest(d)
+    if man is not None:
+        return [os.path.join(d, rel) for rel in man["files"]]
+    return [d] if os.path.isdir(d) else []
+
+
 def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
                       batch_id: str) -> DataFrame:
     """The routed table as of (and including) ``batch_id`` — only batch
     dirs committed up to that point are scanned (partition pruning by
-    construction: later data is never listed, let alone read).
+    construction: later data is never listed, let alone read), and each
+    batch's file list comes from its manifest pointer, so an in-place
+    compaction racing this reader is invisible (old-or-new generation,
+    never a mix).
 
     Heals interrupted compactions first: after a mid-compaction crash
-    the batch's live dir may not exist yet (its data sits in the
-    committer's transient dir) — without recovery the batch would be
-    silently absent from the snapshot."""
+    the batch's live dir may not be fully published yet — without
+    recovery the batch would be silently absent from the snapshot."""
     recover_compactions(cfg)
     ids = committed_batch_ids(cfg)
     if batch_id not in ids:
         raise ValueError(f"batch {batch_id!r} is not committed")
     upto = ids[: ids.index(batch_id) + 1]
     root = os.path.join(cfg.output_path, "routed")
-    dirs = [os.path.join(root, f"batch_id={b}") for b in upto
-            if os.path.isdir(os.path.join(root, f"batch_id={b}"))]
-    return spark.read.option("basePath", root).parquet(*dirs)
+    paths = [p for b in upto for p in resolve_batch_paths(root, b)]
+    return spark.read.option("basePath", root).parquet(*paths)
 
 
 from logfowd2_spark.ioutil import tree_num_files as _tree_num_files  # noqa: E402
@@ -113,12 +129,19 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     (AQE sizes output splits), rewrite into the committer's staging dir
     (``_stage_<name>``: underscore-prefixed, so Spark partition
     discovery never sees in-flight data), verify row counts from parquet
-    footers, then commit via the configured protocol — crash recovery is
-    ``recover_compactions`` (run here on entry, at pipeline startup, and
-    in ``read_routed_as_of``), so rows are never lost, only a compaction
-    retried.  Returns {files_before, files_after, rows}.
+    footers, then commit via a MANIFEST FLIP (``manifest_swap``): the
+    new generation's files are published under fresh unique names, the
+    batch's ``_FILES.json`` pointer is atomically replaced, and only
+    then is the old generation vacuumed — a manifest-resolving reader
+    racing the swap sees exactly-old or exactly-new rows, never a mix.
+    Crash recovery is ``recover_compactions`` (run here on entry, at
+    pipeline startup, and in ``read_routed_as_of``), so rows are never
+    lost, only a compaction retried.
+    Returns {files_before, files_after, rows}.
     """
-    from logfowd2_spark.streaming.commit import get_committer, stage_path  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, manifest_swap, stage_path,
+    )
 
     committer = get_committer(cfg.commit_protocol)
     recover_compactions(cfg)
@@ -144,7 +167,7 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}"
         )
-    committer.swap(batch_dir, tmp)
+    manifest_swap(committer, batch_dir, tmp)
     return {
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),

@@ -218,7 +218,7 @@ def _partition_lineage_from_footers(out_dir: str) -> list[dict]:
     rows: list[dict] = []
     for root, _dirs, files in os.walk(out_dir):
         for fn in sorted(files):
-            if not fn.endswith(".parquet"):
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                 continue
             full = os.path.join(root, fn)
             parts = dict(
@@ -311,6 +311,16 @@ def execute_unified_batch(
         if r["sink_id"] != DLQ_SINK
     ]
     _move_dlq_partition(out_dir, dlq_batch_dir, cfg)
+
+    # publish the batch's file manifest (generation 0) — the pointer
+    # manifest-resolving readers use, and the anchor every later
+    # compaction's generation flip replaces atomically (commit.py)
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        data_files, get_committer, write_file_manifest,
+    )
+
+    write_file_manifest(get_committer(cfg.commit_protocol), out_dir,
+                        data_files(out_dir), generation=0)
 
     agg = _stats_from_observation(vals, sinks)
     dlq_stats_row = agg.pop(DLQ_SINK, None)
@@ -452,7 +462,22 @@ def run_pipeline(
 
 
 def read_routed(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    """All committed routed rows (partition columns recovered from paths)."""
-    return spark.read.option("basePath", os.path.join(cfg.output_path, "routed")).parquet(
-        os.path.join(cfg.output_path, "routed")
-    )
+    """All committed routed rows (partition columns recovered from
+    paths).  Each batch's file list resolves through its ``_FILES.json``
+    manifest pointer when present (snapshot isolation across concurrent
+    compaction swaps — streaming/commit.py); batch dirs without one
+    (legacy layouts) fall back to directory listing."""
+    root = os.path.join(cfg.output_path, "routed")
+    if not os.path.isdir(root):
+        return spark.read.option("basePath", root).parquet(root)
+    from logfowd2_spark.streaming.maintenance import resolve_batch_paths  # noqa: PLC0415
+
+    paths = [
+        p
+        for name in sorted(os.listdir(root))
+        if name.startswith("batch_id=")
+        for p in resolve_batch_paths(root, name.split("=", 1)[1])
+    ]
+    if not paths:
+        return spark.read.option("basePath", root).parquet(root)
+    return spark.read.option("basePath", root).parquet(*paths)
