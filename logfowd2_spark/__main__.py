@@ -27,6 +27,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--files-per-batch", type=int, default=0,
                     help="0 = single batch over the whole input")
     ap.add_argument("--master", default=None, help="spark master override")
+    ap.add_argument("--redrive", type=int, default=0, metavar="N",
+                    help="after the batches, run up to N DLQ redrive "
+                         "generations with exponential backoff "
+                         "(reference retry task, pool.rs:358-470)")
+    ap.add_argument("--redrive-base-delay", type=float, default=30.0,
+                    help="backoff base seconds (dead_letter_queue.rs:31-40)")
+    ap.add_argument("--redrive-max-delay", type=float, default=300.0,
+                    help="backoff cap seconds")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig.load(args.config)
@@ -58,6 +66,18 @@ def main(argv: list[str] | None = None) -> int:
                 "sink_counts": m.sink_counts,
                 "conservation_ok": m.conservation_ok(),
             }))
+        if args.redrive > 0:
+            from logfowd2_spark.streaming.dlq import redrive_loop
+
+            pods = spark.read.parquet(args.pods)
+            summary = redrive_loop(
+                spark, cfg, pods,
+                max_generations=args.redrive,
+                base_delay_s=args.redrive_base_delay,
+                max_delay_s=args.redrive_max_delay,
+                gauges=gauges,
+            )
+            print(json.dumps({"redrive": summary}))
         print(json.dumps({
             "batches_run": len(metrics),
             # A6 runtime gauges (reference NetworkStats, pool.rs:63-121)

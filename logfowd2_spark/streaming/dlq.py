@@ -277,6 +277,75 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     return result
 
 
+def next_redrive_generation(dlq_path: str) -> int:
+    """First unused redrive generation number (rerunning an EXISTING
+    number is reserved for crash resume — redrive_pass is idempotent
+    per generation, so the scheduler must not reuse one for new work)."""
+    gens = [
+        int(d.split("redrive-", 1)[1])
+        for d in os.listdir(dlq_path) if d.startswith("batch_id=redrive-")
+    ] if os.path.isdir(dlq_path) else []
+    return (max(gens) + 1) if gens else 0
+
+
+def redrive_loop(spark: SparkSession, cfg: PipelineConfig, pods: DataFrame,
+                 max_generations: int = 10,
+                 base_delay_s: float = 30.0, max_delay_s: float = 300.0,
+                 gauges=None, sleep_fn=None) -> dict:
+    """The retry SCHEDULER the reference runs around its DLQ: generations
+    on a cadence with exponential backoff — base 30 s, doubled per
+    consecutive failed attempt, capped at 300 s (pool.rs:358-470 retry
+    task + dead_letter_queue.rs:31-40 config).  A generation that
+    recovers nothing while rows remain queued counts as a failed
+    delivery attempt (the sink is still down) and doubles the next
+    delay; any recovery resets the streak.  The failure streak lives in
+    ``RuntimeGauges`` (A6), so the same counter that widens the adaptive
+    timeout spaces the retry cadence — exactly the reference's coupling
+    of NetworkStats to its retry loop.
+
+    The reference also bounds each retry to 100-event bulk calls; that
+    bound exists because its retry unit is one HTTP request.  Here a
+    generation is a distributed job and the per-request bound maps to
+    the per-file write bound (``maxRecordsPerFile=bulk_size``) — a
+    row-LIMIT per generation would silently DROP the un-taken rows,
+    because a pass consumes its input generations whole.
+
+    Stops when no eligible rows remain (drained or all permanently
+    failed) or after ``max_generations``.  ``sleep_fn`` injects the
+    waiter for tests (defaults to ``time.sleep``).  Returns the
+    schedule: per-generation (generation, delay_s, result) plus totals.
+    """
+    import time  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.metrics import RuntimeGauges  # noqa: PLC0415
+
+    sleep = sleep_fn if sleep_fn is not None else time.sleep
+    gauges = gauges if gauges is not None else RuntimeGauges()
+    dlq_path = os.path.join(cfg.output_path, "parse_failures")
+    schedule: list[dict] = []
+    totals = {"recovered": 0, "requeued": 0, "permanently_failed": 0}
+    for _ in range(max_generations):
+        if redrive_candidates(spark, dlq_path, cfg).limit(1).count() == 0:
+            break
+        delay = 0.0
+        if schedule:  # the first attempt runs immediately, like take_batch
+            delay = min(base_delay_s * (2 ** gauges.consecutive_failures),
+                        max_delay_s)
+            sleep(delay)
+        gen = next_redrive_generation(dlq_path)
+        t0 = time.perf_counter()
+        result = redrive_pass(spark, cfg, pods, generation=gen)
+        wall_ms = (time.perf_counter() - t0) * 1000.0
+        failed = result["recovered"] == 0 and result["requeued"] > 0
+        gauges.observe(wall_ms, failed=failed)
+        schedule.append({"generation": gen, "delay_s": delay, **result})
+        totals["recovered"] += result["recovered"]
+        totals["permanently_failed"] = result["permanently_failed"]
+        totals["requeued"] = result["requeued"]
+    return {"schedule": schedule, "totals": totals,
+            "consecutive_failures": gauges.consecutive_failures}
+
+
 _TRIM_PREFIX = "trim-"
 
 

@@ -131,6 +131,66 @@ def test_redrive_rerun_resumes_committed_generation(spark, tmp_path):
     assert rows == ["doc-2", "doc-3"]           # committed + late rows intact
 
 
+def test_redrive_loop_backoff_schedule(spark, tmp_path):
+    """The retry SCHEDULER (reference pool.rs:358-470 cadence +
+    dead_letter_queue.rs:31-40 backoff): with a sink that recovers at
+    attempt 3, the loop runs generation 0 immediately, doubles the delay
+    after each recovery-free generation (failure streak via
+    RuntimeGauges), honors the cap, delivers every transient row on the
+    recovery attempt, and stops on its own when nothing is eligible."""
+    from logfowd2_spark.streaming.dlq import redrive_loop
+    from logfowd2_spark.streaming.metrics import RuntimeGauges
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=400, seed=13,
+                                n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        sink_fault_sink="logs-ingress",
+        sink_fault_until_retry=3,
+        dlq_max_retry_count=3,
+    )
+    m = run_pipeline(spark, cfg, paths["pods"], paths["routes"])
+    cfg.routes = load_routes(spark, paths["routes"])
+    pods = spark.read.parquet(paths["pods"])
+    n_transient = sum(b.failure_counts.get("sink_unavailable", 0) for b in m)
+    n_schema = sum(n for b in m for r, n in b.failure_counts.items()
+                   if r != "sink_unavailable")
+    assert n_transient > 0 and n_schema > 0
+
+    slept: list[float] = []
+    gauges = RuntimeGauges()
+    out = redrive_loop(
+        spark, cfg, pods,
+        max_generations=10, base_delay_s=30.0, max_delay_s=100.0,
+        gauges=gauges, sleep_fn=slept.append,
+    )
+    sched = out["schedule"]
+    # gen 0 immediate; two recovery-free generations double the delay
+    # (30*2^1=60), then the cap clips 30*2^2=120 → 100
+    assert [s["delay_s"] for s in sched] == [0.0, 60.0, 100.0]
+    assert slept == [60.0, 100.0]
+    assert [s["recovered"] for s in sched] == [0, 0, n_transient]
+    assert sched[-1]["generation"] == 2
+    assert out["totals"]["recovered"] == n_transient
+    assert out["consecutive_failures"] == 0  # recovery reset the streak
+
+    # delivery matches the healthy-sink answer (pipe_transient_redrive's
+    # invariant): every transient row routed to its sink exactly once
+    routed = spark.read.parquet(os.path.join(cfg.output_path, "routed"))
+    assert routed.filter(F.col("sink_id") == "logs-ingress").count() \
+        == n_transient
+    # nothing eligible remains; only capped schema rows are retained
+    from logfowd2_spark.streaming.dlq import dlq_stats
+
+    stats = dlq_stats(
+        spark, os.path.join(cfg.output_path, "parse_failures"), cfg
+    ).collect()[0]
+    assert stats["in_queue"] == 0
+    assert stats["permanently_failed"] == n_schema
+
+
 def test_sink_fault_transient_recovery(spark, tmp_path):
     """End-to-end transient class (reference pool.rs:165-313 + retry
     loop pool.rs:358-470): with a fault-injected sink that recovers at
