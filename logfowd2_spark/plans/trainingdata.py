@@ -493,8 +493,16 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         for name in os.listdir(_SCRATCH_ROOT):
             full = os.path.join(_SCRATCH_ROOT, name)
             # age guard: only reap another session's subtree when nothing
-            # under it (data or heartbeat) changed for over an hour
-            if name != app and _time.time() - newest_mtime(full) > 3600:
+            # under it (data or heartbeat) changed for a DAY.  The
+            # heartbeat advances only when that session calls into this
+            # cache, so the threshold must dominate any plausible
+            # idle-but-alive gap (round-3's 1 h did not: a session idle
+            # that long would lose its written intermediates out from
+            # under cached DataFrames).  Residual assumption, documented:
+            # a session idle >24 h that then reuses a cached DataFrame
+            # can still lose the scan — concurrent long-idle sessions
+            # should set SPARK_GRAFT_SCRATCH to disjoint roots.
+            if name != app and _time.time() - newest_mtime(full) > 86400:
                 _shutil.rmtree(full, ignore_errors=True)
     return (app, sf_dir)
 

@@ -49,7 +49,11 @@ from logfowd2_spark.streaming.checkpoint import (
     load_manifest,
     save_manifest,
 )
-from logfowd2_spark.streaming.metrics import BatchMetrics, RuntimeGauges
+from logfowd2_spark.streaming.metrics import (
+    BatchMetrics,
+    RuntimeGauges,
+    emit_metrics,
+)
 
 
 def _write_stats_pyarrow(stats_dir: str, agg: dict[str, dict[str, int]]) -> None:
@@ -455,6 +459,10 @@ def run_pipeline(
         )
         save_manifest(man, manifest_path)  # commit point
         results.append(m)
+        # per-batch metrics exposition (reference metrics/server.rs:185
+        # scrape endpoint → atomic textfile publish; A4/A6 families)
+        emit_metrics(cfg.output_path, results, gauges,
+                     commit_protocol=cfg.commit_protocol)
         done += 1
         if max_batches is not None and done >= max_batches:
             break
