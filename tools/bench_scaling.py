@@ -155,7 +155,7 @@ larger and the default 64 MiB advisory holds).  Walls per level:
 N={r_low['walls']}, 4N={r_high['walls']} (min used — steady state).
 
 Codec: the protocol runs the pure-JVM codec at both levels.  The
-default arrow codec's Python workers are separate OS processes OUTSIDE
+arrow codec's Python workers are separate OS processes OUTSIDE
 local[N]'s task-slot accounting — each task's JVM thread and its Python
 worker pipeline concurrently, so a local[N] run uses up to ~2N host
 cores; the low-parallelism leg gets that surplus for free while the
@@ -165,8 +165,11 @@ high leg saturates the VM, structurally deflating measured efficiency
 inside the task slots, so local parallelism is an honest stand-in for
 executor count.  On a real cluster both codecs scale together —
 executors have dedicated cores and the per-executor JVM+Python shape is
-identical at N and 4N executors.  Absolute arrow-codec throughput is
-reported in BENCH_r*.json (pipeline_e2e) and BENCH/NOTES.md.
+identical at N and 4N executors.  (Since round 4 the shipped default is
+codec='auto', which resolves by this exact headroom rule —
+config.resolve_codec — picking jvm on an oversubscribed host and arrow
+on dedicated cores.)  Absolute per-codec throughput is reported in
+BENCH_r*.json (pipeline_e2e + the non-chosen twin) and BENCH/NOTES.md.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
