@@ -108,17 +108,20 @@ def test_route_is_case_not_join(env):
 
 
 def test_cosine_dups_has_no_allpairs_join(spark):
-    """embedding_cosine_dups must generate candidates via a bucket
-    EQUI-join: no CartesianProduct, no BroadcastNestedLoopJoin anywhere
-    (the round-1 version was an O(n²) theta-join)."""
+    """embedding_cosine_dups must confine candidates to IVF buckets: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (the round-1
+    version was an O(n²) theta-join), and since round 4 NO pair join at
+    all — the within-bucket similarity block is one
+    FlatMapGroupsInPandas (per-bucket BLAS), so the only wide exchange
+    is the bucket groupBy."""
     from logfowd2_spark.plans.trainingdata import embedding_cosine_dups
 
     q = embedding_cosine_dups(spark, "/root/testdata/sf0.001")
     plan = plan_of(q)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
-        "ShuffledHashJoin" in plan)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan  # candidates never leave their bucket
 
 
 def test_lsh_candidates_are_equi_join(spark):
