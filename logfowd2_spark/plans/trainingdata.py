@@ -701,18 +701,38 @@ WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
 """
 
 
+#: memoized verified-pair table (same pattern/caches as signatures)
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _materialized_verified_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The LSH-candidates → exact-Jaccard-verified duplicate pairs,
+    WRITTEN once per session×sf: both `lsh_verified_dups` and the
+    cluster builder consume this table, and in a production dedup the
+    verified-pair set is exactly the durable artifact every downstream
+    step (clustering, canonical-pick, removal list) re-reads."""
+    key = _cache_key(spark, sf_dir)
+    if key not in _PAIRS_CACHE:
+        _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
+        eb = _exploded_bands(_materialized_sig(spark, sf_dir))
+        eb.createOrReplaceTempView("eb")
+        _PAIRS_CACHE[key] = _write_intermediate(
+            spark.sql(_VERIFY_OUT), spark, key, "verified_pairs"
+        )
+    return _PAIRS_CACHE[key]
+
+
 @register("lsh_verified_dups", _VERIFY_ORACLE)
 def lsh_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed near-dup pipeline: LSH candidates → exact Jaccard
     verify ≥ 0.5.  Oracle = the brute-force all-pairs answer, so the
     gate proves the bucketed path loses no recall on this corpus (with
     r=4, b=32 the miss probability at j=0.9 is (1-0.9⁴)³² ≈ 1.5e-15).
-    Candidates come from the materialized signature table; the shingle
-    sets for the exact verify are hash-free and recomputed on demand."""
-    _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
-    eb = _exploded_bands(_materialized_sig(spark, sf_dir))
-    eb.createOrReplaceTempView("eb")
-    return spark.sql(_VERIFY_OUT)
+    Candidates come from the materialized signature table; the verified
+    pairs are themselves a written intermediate shared with the cluster
+    builder (one verify join per session, not one per consumer)."""
+    return _materialized_verified_pairs(spark, sf_dir)
 
 
 # --- INCREMENTAL dedup: a new batch against the stored signature table -----
@@ -827,14 +847,13 @@ def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transitive closure) that must produce identical components."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
-    eb = _exploded_bands(_materialized_sig(spark, sf_dir))
-    eb.createOrReplaceTempView("eb")
+    # edges come from the WRITTEN verified-pair table (shared with
+    # lsh_verified_dups — the verify join runs once per session);
     # persist the edge set and each round's labels: every round runs a
-    # count() action, and without caching round k would re-execute the
-    # LSH verify joins plus all k-1 prior label joins from scratch
-    # (O(rounds^2) work and unbounded lineage growth)
-    pairs = spark.sql(_VERIFY_OUT).select("a_id", "b_id")
+    # count() action, and without caching round k would re-execute all
+    # k-1 prior label joins from scratch (O(rounds^2) work and
+    # unbounded lineage growth)
+    pairs = _materialized_verified_pairs(spark, sf_dir).select("a_id", "b_id")
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
