@@ -80,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"redrive": summary}))
         print(json.dumps({
             "batches_run": len(metrics),
+            # run_pipeline pinned 'auto' to a concrete codec for the run
+            "codec": cfg.codec,
             # A6 runtime gauges (reference NetworkStats, pool.rs:63-121)
             "ema_batch_ms": round(gauges.ema_batch_ms, 1),
             "adaptive_timeout_ms": round(gauges.adaptive_timeout_ms(), 1),

@@ -461,7 +461,7 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # and garbage-collect those sessions' on-disk scratch subtrees too
     # (without this every new session leaks its predecessor's written
     # shingle/signature tables until the disk fills)
-    for cache in (_SHINGLE_CACHE, _SIG_CACHE):
+    for cache in (_SHINGLE_CACHE, _SIG_CACHE, _PAIRS_CACHE):
         for k in [k for k in cache if k[0] != app]:
             del cache[k]
     if os.path.isdir(_SCRATCH_ROOT):

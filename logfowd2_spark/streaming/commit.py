@@ -367,12 +367,15 @@ def data_files(root: str) -> list[str]:
 def read_file_manifest(live: str) -> dict | None:
     """The committed file manifest of a batch dir, or None (legacy dirs
     written before manifests, or foreign layouts — callers fall back to
-    directory listing, which is correct whenever no rewrite is racing)."""
+    directory listing, which is correct whenever no rewrite is racing).
+    A corrupt/unreadable manifest also degrades to the listing fallback
+    instead of making the whole table unreadable; the next
+    recover+compaction rewrites it."""
     path = os.path.join(live, FILE_MANIFEST)
     try:
         with open(path) as fh:
             return json.load(fh)
-    except FileNotFoundError:
+    except (OSError, ValueError):
         return None
 
 
@@ -412,7 +415,11 @@ def vacuum_unreferenced(live: str) -> list[str]:
 def _publish_from_marker(committer, staged: str, live: str,
                          vacuum: bool = True) -> None:
     """Steps 2-5 of ``manifest_swap`` — idempotent, replayable from the
-    marker after a crash at any point."""
+    marker after a crash at any point.  The stage (and with it the
+    replay marker) is deleted LAST: until the vacuum has removed the
+    superseded generation, directory-listing consumers of ``live`` see
+    both generations, and only the surviving marker lets ``recover()``
+    drive the state back to a single one."""
     with open(os.path.join(staged, PUBLISH_MARKER)) as fh:
         marker = json.load(fh)
     for rel in marker["files"]:
@@ -421,9 +428,9 @@ def _publish_from_marker(committer, staged: str, live: str,
         committer.put_file(dst, src_path=os.path.join(staged, rel))
     write_file_manifest(committer, live, marker["files"],
                         marker["generation"])
-    shutil.rmtree(staged, ignore_errors=True)
     if vacuum:
         vacuum_unreferenced(live)
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def manifest_swap(committer, live: str, staged: str,

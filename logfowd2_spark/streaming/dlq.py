@@ -231,6 +231,16 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
         out_dir, "overwrite",
     )
     n_recovered = _obs_n(rec_obs)
+    # redrive batches are routed batches like any other: publish the
+    # generation-0 file manifest so manifest-resolving readers (and a
+    # later compaction's generation flip) get the same snapshot
+    # isolation here as on regular batch dirs
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        data_files, get_committer, write_file_manifest,
+    )
+
+    write_file_manifest(get_committer(cfg.commit_protocol), out_dir,
+                        data_files(out_dir), generation=0)
 
     # new DLQ generation: requeued + permanently-failed rows, written
     # distributed into a fresh batch_id dir (created after the source

@@ -96,8 +96,10 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
-    df = spark.read.option("basePath", batch_dir).parquet(batch_dir)
+    root = os.path.join(cfg.output_path, "routed")
+    batch_dir = os.path.join(root, f"batch_id={batch_id}")
+    paths = resolve_batch_paths(root, batch_id) or [batch_dir]
+    df = spark.read.option("basePath", batch_dir).parquet(*paths)
     action = F.concat(
         F.lit('{"index":{"_index":"'),
         F.col("sink_id"), F.lit("-"),
@@ -118,7 +120,14 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
         lines.hint("rebalance", "sink_id")
         .write.mode("overwrite").partitionBy("sink_id").text(out_dir)
     )
-    return _tree_num_rows(batch_dir)  # events exported == batch rows
+    # events exported == batch rows, counted over the SAME resolved
+    # file set the export read (a directory walk would double-count in
+    # the unrecovered window of an interrupted generation swap)
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if paths == [batch_dir]:
+        return _tree_num_rows(batch_dir)
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
 def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
@@ -143,16 +152,24 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         get_committer, manifest_swap, stage_path,
     )
 
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
     committer = get_committer(cfg.commit_protocol)
     recover_compactions(cfg)
-    batch_dir = os.path.join(cfg.output_path, "routed", f"batch_id={batch_id}")
+    root = os.path.join(cfg.output_path, "routed")
+    batch_dir = os.path.join(root, f"batch_id={batch_id}")
     if not os.path.isdir(batch_dir):
         raise ValueError(f"no such batch dir: {batch_dir}")
     tmp = stage_path(batch_dir)
     shutil.rmtree(tmp, ignore_errors=True)
 
+    # read AND count through the manifest resolution: a directory walk
+    # would pick up unreferenced files (a deliberately deferred vacuum)
+    # and the rewrite would silently COMMIT the doubled rows — both
+    # sides of the row-count guard would agree on the wrong number
+    paths = resolve_batch_paths(root, batch_id) or [batch_dir]
     files_before = _tree_num_files(batch_dir)
-    df = spark.read.option("basePath", batch_dir).parquet(batch_dir)
+    df = spark.read.option("basePath", batch_dir).parquet(*paths)
     (
         df.hint("rebalance", "sink_id")
         .write.mode("overwrite")
@@ -160,7 +177,10 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         .option("maxRecordsPerFile", str(target_records_per_file))
         .parquet(tmp)
     )
-    rows_before = _tree_num_rows(batch_dir)
+    if paths == [batch_dir]:
+        rows_before = _tree_num_rows(batch_dir)
+    else:
+        rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
     rows_after = _tree_num_rows(tmp)
     if rows_before != rows_after:  # never swap a lossy rewrite
         shutil.rmtree(tmp, ignore_errors=True)

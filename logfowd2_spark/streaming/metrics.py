@@ -101,7 +101,8 @@ def _histogram(lines: list[str], name: str, labels: str,
 
 
 def prometheus_exposition(batches: list[BatchMetrics],
-                          gauges: "RuntimeGauges | None" = None) -> str:
+                          gauges: "RuntimeGauges | None" = None,
+                          dlq_size: int | None = None) -> str:
     """The run's metrics in Prometheus text format, using the
     reference's metric FAMILIES verbatim (collector.rs:60-167, served at
     metrics/server.rs:185).  The component label is ``sender`` — the
@@ -143,8 +144,12 @@ def prometheus_exposition(batches: list[BatchMetrics],
 
     fam("logfowd_dead_letter_queue_size", "gauge",
         "Current size of the dead letter queue")
+    # a GAUGE must report the queue's CURRENT contents (post-trim,
+    # post-redrive), not the cumulative quarantined count — the caller
+    # passes the persisted-row count; cumulative failures stay on the
+    # errors_total counter above
     lines.append(f'logfowd_dead_letter_queue_size{{queue_type="events"}} '
-                 f'{failed}')
+                 f'{failed if dlq_size is None else dlq_size}')
 
     total_wall_s = sum(m.wall_ms for m in batches) / 1000.0
     fam("logfowd_events_per_second", "gauge",
@@ -189,9 +194,15 @@ def emit_metrics(output_path: str, batches: list[BatchMetrics],
 
     from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
 
+    from logfowd2_spark.ioutil import tree_num_rows  # noqa: PLC0415
+
+    # the queue gauge reads the quarantine's ACTUAL persisted rows
+    # (parquet footers, driver-side, no Spark job) — trims and redrives
+    # are reflected, unlike the cumulative parse_failures counter
+    dlq_size = tree_num_rows(os.path.join(output_path, "parse_failures"))
     path = os.path.join(output_path, "metrics", "metrics.prom")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     get_committer(commit_protocol).put_file(
-        path, prometheus_exposition(batches, gauges).encode()
+        path, prometheus_exposition(batches, gauges, dlq_size).encode()
     )
     return path

@@ -401,6 +401,18 @@ def run_pipeline(
     all *current* batches committed without processing — 'seek to EOF'.
     """
     cfg.validate()
+    # pin codec='auto' to ONE concrete codec for the whole run: the two
+    # codecs differ semantically on non-ASCII bytes (arrow = real UTF-8
+    # with lossy U+FFFD, jvm = byte→char mapping), so resolution must
+    # not flip between batches of one run as loadavg moves — and a
+    # pinned cfg also keeps the DLQ redrive's n_tok formula consistent
+    # with the batches that quarantined the rows (same-run contract;
+    # pin codec explicitly in config when mixing runs over non-ASCII
+    # data with a long-lived quarantine)
+    from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
+
+    cfg.codec = resolve_codec(cfg.codec,
+                              spark.sparkContext.defaultParallelism)
     cfg.routes = load_routes(spark, routes_path)
     pods = spark.read.parquet(pods_path)
 

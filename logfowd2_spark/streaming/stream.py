@@ -49,8 +49,13 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
     including the ``parse_failures/batch_id=...`` quarantine partitioning
     that the redrive pass consumes (one DLQ layout across modes) and the
     per-batch sink_stats table.  Returns the StreamingQuery."""
+    from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
     from logfowd2_spark.streaming.pipeline import execute_unified_batch  # noqa: PLC0415
 
+    # one codec per stream (see run_pipeline: the codecs differ
+    # semantically on non-ASCII bytes — never flip mid-stream)
+    cfg.codec = resolve_codec(cfg.codec,
+                              spark.sparkContext.defaultParallelism)
     stream = read_sequences_stream(spark, cfg)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -191,7 +196,14 @@ def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
                 closed.append((key_tuple[0], fmt(s0), fmt(last), n))
                 s0, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # a late-but-within-watermark event from an earlier
+                # micro-batch may PRECEDE the open session's bounds:
+                # merge by widening (never move `last` backward — that
+                # would corrupt session_end and make the next gap check
+                # split a live session).  No retroactive re-splitting:
+                # an out-of-order member joins the open session, the
+                # standard streaming-sessionization contract.
+                s0, last, n = min(s0, t), max(last, t), n + 1
         state.update((s0, last, n))
         state.setTimeoutTimestamp((last + gap_us) // 1000)  # epoch ms
         if closed:

@@ -42,6 +42,64 @@ def test_sessionize_gate_matches_oracle(spark, duck):
     assert ok, f"streaming_sessionize: {why}"
 
 
+def test_sessionize_out_of_order_merge(spark, tmp_path):
+    """A late-but-within-watermark event from an earlier micro-batch
+    merges into the open session by WIDENING its bounds: session_start
+    moves back, session_end must NOT move backward (the round-4 review
+    caught `last` being overwritten by the late timestamp, which made
+    the next gap check split a live session)."""
+    from logfowd2_spark.streaming.stream import sessionize
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def write_file(idx, rows_sql):
+        tmp = str(tmp_path / f"tmp{idx}")
+        spark.sql(rows_sql).coalesce(1).write.parquet(tmp)
+        dst = str(in_dir / f"{idx:02d}.parquet")
+        shutil.copy(glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + idx * 100,) * 2)
+
+    write_file(0, """
+        SELECT CAST(1 AS INT) AS k, timestamp'2024-01-01 10:00:00' AS ts
+        UNION ALL
+        SELECT CAST(1 AS INT) AS k, timestamp'2024-01-01 10:05:00' AS ts
+    """)
+    # batch 2: a LATE event at 09:58 (admitted: watermark is
+    # 10:05 - 30 min) plus a far-future key advancing the watermark
+    # past k=1's gap deadline so its session closes by timeout
+    write_file(1, """
+        SELECT CAST(1 AS INT) AS k, timestamp'2024-01-01 09:58:00' AS ts
+        UNION ALL
+        SELECT CAST(99 AS INT) AS k, timestamp'2024-01-01 11:00:00' AS ts
+    """)
+
+    stream = (
+        spark.readStream.schema("k int, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = sessionize(stream, key="k", ts="ts", gap_s=600,
+                     delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "out-of-order stream didn't drain"
+    rows = spark.sql(
+        "SELECT k, session_start, session_end, n_events FROM sess_ooo_gate"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["k"] == 1 and r["n_events"] == 3
+    assert r["session_start"] == "2024-01-01 09:58:00.000000"
+    assert r["session_end"] == "2024-01-01 10:05:00.000000"  # not 09:58!
+
+
 def test_sessionize_event_time_eviction(spark, tmp_path):
     """Keys whose gap deadline the watermark passes are emitted by
     timeout AND their state rows removed; an open session's state
