@@ -50,23 +50,47 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- document fingerprinting ---------------------------------------------------
 
-_FP = """
+# Rabin-Karp polynomial rolling hash (base 31, mod 1e9+7): the
+# shift-resistant fingerprint family used for content-defined chunking
+# — fold (acc*B + c) mod P over the code points; identical arithmetic
+# in Spark's aggregate() and DuckDB's list_reduce(), so it is
+# oracle-checked bit-for-bit.  BIGINT-safe: acc < P < 2^30, c < 2^21,
+# acc*31 + c < 2^35.
+_ROLL_SPARK = (
+    "aggregate(transform(sequence(1, length(text)), "
+    "i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+_ROLL_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(text) + 1), "
+    "i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+_FP = f"""
 SELECT doc_id,
        md5(lower(text)) AS content_fp,
-       md5(source || '|' || lang) AS route_fp
+       md5(source || '|' || lang) AS route_fp,
+       {_ROLL_DUCK} AS rolling_fp
 FROM documents
 """
 
 
 @register("doc_fingerprint", _FP)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document content fingerprint — narrow projection, no shuffle."""
+    """Per-document content fingerprints — narrow projection, no
+    shuffle: exact md5 (dedup key), route key, and the Rabin-Karp
+    rolling hash (the shift-resistant family behind content-defined
+    chunking; the lambda fold is CodegenFallback but runs once per doc,
+    not in any hot path)."""
     return _sql(
         spark, sf_dir,
-        """
+        f"""
         SELECT doc_id,
                md5(lower(text)) AS content_fp,
-               md5(concat(source, '|', lang)) AS route_fp
+               md5(concat(source, '|', lang)) AS route_fp,
+               {_ROLL_SPARK} AS rolling_fp
         FROM documents
         """,
         ["documents"],
