@@ -1009,6 +1009,107 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- stream-stream interval join -------------------------------------------
+
+_STREAM_IJOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+       CAST(floor(epoch(e.ts)) - floor(epoch(p.ts)) AS BIGINT) AS secs_after
+FROM events p JOIN events e ON p.user_id = e.user_id
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 6 HOUR
+"""
+
+
+@register("streaming_interval_join", _STREAM_IJOIN_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner interval join: every error within 6 hours
+    AFTER a purchase by the same user, both sides unbounded streams.
+    The join condition carries the equality key, the event-time range,
+    and watermarks on BOTH sides — the complete recipe Spark needs to
+    bound join state (purchase state is droppable once the watermark
+    passes ts + 6 h).  The gate's watermark delay is deliberately
+    larger than the corpus time-span so no row is ever late and the
+    drained availableNow result equals the batch join EXACTLY (the
+    oracle); in production the delay is the lateness SLA and bounds
+    state, trading exactness for memory like every watermarked op.
+    Input files are written Spark-side with the declared schema
+    (see streaming_sessionize: pandas round-trips drift by host)."""
+    import os
+    import shutil
+    import tempfile
+    from glob import glob
+
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    root = tempfile.mkdtemp(prefix="logfowd2-sjoin-")
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin("purchase", "error")
+    ).select(F.col("user_id").cast("long").alias("user_id"),
+             F.col("event_id").cast("long").alias("event_id"),
+             "event_type", "ts")
+    tiled = ev.withColumn(
+        "tercile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    ).persist()
+    for i in range(3):
+        tmp = f"{root}/tmp{i}"
+        (
+            tiled.filter(F.col("tercile") == i + 1)
+            .select("user_id", "event_id", "event_type", "ts")
+            .coalesce(1).write.parquet(tmp)
+        )
+        src = glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i:02d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    tiled.unpersist()
+
+    ddl = "user_id long, event_id long, event_type string, ts timestamp"
+
+    def side(kind: str, prefix: str):
+        return (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 days")
+        )
+
+    p, e = side("purchase", "p"), side("error", "e")
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user = e_user AND e_ts >= p_ts "
+            "AND e_ts <= p_ts + INTERVAL 6 HOURS"
+        ),
+    ).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("e_id").alias("error_id"),
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("e_ts") - F.unix_timestamp("p_ts"))
+        .alias("secs_after"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("stream_ijoin_gate")
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.sql(
+        "SELECT purchase_id, error_id, user_id, secs_after "
+        "FROM stream_ijoin_gate"
+    )
+
+
 # import sibling modules for their @register side effects (kept at the
 # bottom so they can import register/_sql from this module).
 # trainingdata FIRST: the driver's correctness gate checks queries in

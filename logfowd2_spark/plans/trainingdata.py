@@ -245,65 +245,48 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUALITY = {
     "spark": f"""
-    WITH t AS (SELECT doc_id, n_chars, split(text, ' ') AS w FROM documents)
+    WITH t AS (SELECT doc_id, n_chars, lang, split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, n_chars, lang, w,
+                 size(filter(w, x -> x IN ('the','a','key','row'))) AS s_en,
+                 size(filter(w, x -> x IN ('data','sort','filter','part'))) AS s_x
+          FROM t)
     SELECT doc_id, n_chars, size(w) AS n_words,
            round(CAST(size(filter(w, x -> x IN {STOPWORDS})) AS DOUBLE) / size(w), 4) AS stop_ratio,
            CASE WHEN size(w) >= 40 THEN 'long'
                 WHEN size(w) >= 15 THEN 'ok'
-                ELSE 'short' END AS quality_bucket
-    FROM t
+                ELSE 'short' END AS quality_bucket,
+           lang,
+           CASE WHEN s_en >= s_x THEN 'en-like' ELSE 'other' END AS predicted_class,
+           round(CAST(s_en AS DOUBLE) / size(w), 4) AS en_score
+    FROM s
     """,
     "duck": f"""
-    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+    WITH t AS (SELECT doc_id, n_chars, lang, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, n_chars, lang, w,
+                 len(list_filter(w, x -> x IN ('the','a','key','row'))) AS s_en,
+                 len(list_filter(w, x -> x IN ('data','sort','filter','part'))) AS s_x
+          FROM t)
     SELECT doc_id, n_chars, len(w) AS n_words,
            round(CAST(len(list_filter(w, x -> x IN {STOPWORDS})) AS DOUBLE) / len(w), 4) AS stop_ratio,
            CASE WHEN len(w) >= 40 THEN 'long'
                 WHEN len(w) >= 15 THEN 'ok'
-                ELSE 'short' END AS quality_bucket
-    FROM t
+                ELSE 'short' END AS quality_bucket,
+           lang,
+           CASE WHEN s_en >= s_x THEN 'en-like' ELSE 'other' END AS predicted_class,
+           round(CAST(s_en AS DOUBLE) / len(w), 4) AS en_score
+    FROM s
     """,
 }
 
 
 @register("quality_score", _QUALITY["duck"])
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length/stopword-ratio quality features + bucket per document."""
+    """Per-document text analysis in one split: length/stopword-ratio
+    quality features + bucket, AND the marker-word-profile language-ID
+    (n-gram-heuristic shape: per-profile hit rates + argmax with
+    deterministic tiebreak) — merged in round 4 so both operators share
+    one tokenization and one catalog slot."""
     return _sql(spark, sf_dir, _QUALITY["spark"], ["documents"])
-
-
-# --- language-ID heuristic -----------------------------------------------------------
-
-_LANGID = {
-    "spark": """
-    WITH t AS (SELECT doc_id, lang, split(text, ' ') AS w FROM documents),
-    s AS (SELECT doc_id, lang,
-                 size(filter(w, x -> x IN ('the','a','key','row'))) AS s_en,
-                 size(filter(w, x -> x IN ('data','sort','filter','part'))) AS s_x,
-                 size(w) AS n FROM t)
-    SELECT doc_id, lang,
-           CASE WHEN s_en >= s_x THEN 'en-like' ELSE 'other' END AS predicted_class,
-           round(CAST(s_en AS DOUBLE) / n, 4) AS en_score
-    FROM s
-    """,
-    "duck": """
-    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-    s AS (SELECT doc_id, lang,
-                 len(list_filter(w, x -> x IN ('the','a','key','row'))) AS s_en,
-                 len(list_filter(w, x -> x IN ('data','sort','filter','part'))) AS s_x,
-                 len(w) AS n FROM t)
-    SELECT doc_id, lang,
-           CASE WHEN s_en >= s_x THEN 'en-like' ELSE 'other' END AS predicted_class,
-           round(CAST(s_en AS DOUBLE) / n, 4) AS en_score
-    FROM s
-    """,
-}
-
-
-@register("lang_id_heuristic", _LANGID["duck"])
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word-profile language scoring (n-gram-heuristic shape:
-    per-profile hit rates + argmax with deterministic tiebreak)."""
-    return _sql(spark, sf_dir, _LANGID["spark"], ["documents"])
 
 
 # --- n-gram Jaccard near-dup ------------------------------------------------------------

@@ -42,6 +42,17 @@ def test_sessionize_gate_matches_oracle(spark, duck):
     assert ok, f"streaming_sessionize: {why}"
 
 
+def test_interval_join_gate_matches_oracle(spark, duck):
+    """The stream-stream interval join gate equals the batch join
+    answer exactly (rows + values) — run the same way the driver's
+    correctness harness does."""
+    sdf = catalog.queries()["streaming_interval_join"](spark, SF).toPandas()
+    odf = duck.sql(catalog.oracle_sql()["streaming_interval_join"]).df()
+    assert len(sdf) > 0
+    ok, why = frames_match(sdf, odf)
+    assert ok, f"streaming_interval_join: {why}"
+
+
 def test_sessionize_out_of_order_merge(spark, tmp_path):
     """A late-but-within-watermark event from an earlier micro-batch
     merges into the open session by WIDENING its bounds: session_start
