@@ -109,6 +109,11 @@ def main() -> None:
     # the same setting the scaling protocol uses, measured ~18% faster
     # here.  On a cluster the input is ~10^6x larger and the default
     # holds (session.py keeps 64 MiB unless this env is set).
+    # Session-wide by design: every headline query's post-shuffle
+    # coalescing also runs at 8 MiB from round 4 on (their inputs are
+    # just as undersized locally) — a round-over-round per-query
+    # comparison against BENCH_r03 and earlier conflates this config
+    # change with code changes; BENCH/NOTES.md round 4 records it.
     os.environ.setdefault("SPARK_GRAFT_ADVISORY_BYTES",
                           str(8 * 1024 * 1024))
     spark = build_session(

@@ -61,6 +61,54 @@ def _sql(spark: SparkSession, sf_dir: str, query: str,
     return spark.sql(query)
 
 
+def _stream_input_files(dfs, prefix: str) -> tuple[str, str]:
+    """Write each DataFrame as ONE parquet file into a fresh stream
+    input dir with ascending mtimes — FileStreamSource orders files by
+    modification time, so with ``maxFilesPerTrigger=1`` each DataFrame
+    becomes its own micro-batch, in list order (the watermark genuinely
+    advances across batches).  Files are written Spark-side, so column
+    types are exactly what the writing plan declares (a pandas
+    round-trip here once widened int to int64 by host — round-3's one
+    red gate).  Returns (root, input_dir)."""
+    import os
+    import shutil
+    import tempfile
+    from glob import glob
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    in_dir = f"{root}/in"
+    os.makedirs(in_dir)
+    for i, df in enumerate(dfs):
+        tmp = f"{root}/tmp{i}"
+        df.coalesce(1).write.parquet(tmp)
+        src = glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i:02d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    return root, in_dir
+
+
+def _tercile_stream_input(df, order_cols: list[str],
+                          prefix: str) -> tuple[str, str]:
+    """Three time-ordered tercile files of ``df`` as a stream input dir
+    (gate-scale input: the single-partition ntile window is fine here;
+    production streams arrive pre-split).  Split POSITIONS don't matter
+    — only time order across files does."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    tiled = df.withColumn(
+        "tercile", F.ntile(3).over(Window.orderBy(*order_cols))
+    ).persist()
+    parts = [
+        tiled.filter(F.col("tercile") == i + 1).drop("tercile")
+        for i in range(3)
+    ]
+    try:
+        return _stream_input_files(parts, prefix)
+    finally:
+        tiled.unpersist()
+
+
 def _await_stream(q, timeout: int = 600) -> None:
     """Fail LOUDLY if a streaming gate's availableNow query does not
     drain in time: reading the memory sink of a still-running query
@@ -864,11 +912,6 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch answer (late rows + the still-open last windows) is the
     documented late-drop loss (reference B2's flush semantics upgraded
     to event time, sender.rs:40-55)."""
-    import os
-    import shutil
-    import tempfile
-    from glob import glob
-
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     on_time = ev.filter("event_id % 10 > 1").select("event_id", "event_type", "ts")
     buffer_b = ev.filter("event_id % 10 = 1").select("event_id", "event_type", "ts")
@@ -876,17 +919,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type",
         (F.col("ts") - F.expr("INTERVAL 60 DAYS")).alias("ts"),
     )
-
-    root = tempfile.mkdtemp(prefix="logfowd2-latewin-")
-    in_dir = f"{root}/in"
-    os.makedirs(in_dir)
-    for i, df in enumerate([on_time, buffer_b, late]):
-        tmp = f"{root}/tmp{i}"
-        df.coalesce(1).write.parquet(tmp)
-        part = glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i:02d}.parquet"
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    root, in_dir = _stream_input_files([on_time, buffer_b, late],
+                                       "logfowd2-latewin-")
 
     stream = (
         spark.readStream.schema("event_id bigint, event_type string, ts timestamp")
@@ -946,47 +980,16 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVENT-TIME timeouts; see its docstring for semantics).  The oracle
     states the contract in closed form: every batch session EXCEPT each
     key's last one, which emits iff last_ts + gap < max_ts − delay.
-    Input is three time-ordered files (maxFilesPerTrigger=1 ⇒ the
-    watermark genuinely advances across micro-batches); the terciles
-    are written Spark-side with the types the stream read declares
-    (``k`` int ⇒ parquet INT32 — a pandas round-trip here once widened
-    it to INT64 and broke the stream read in a different environment),
-    and no full-table collect touches the driver."""
-    import os
-    import shutil
-    import tempfile
-    from glob import glob
-
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
+    Input is three Spark-side-written time-ordered tercile files
+    (``_tercile_stream_input``: maxFilesPerTrigger=1 ⇒ the watermark
+    genuinely advances across micro-batches; the result is
+    split-invariant), and no full-table collect touches the driver."""
     from logfowd2_spark.streaming.stream import sessionize  # noqa: PLC0415
 
-    root = tempfile.mkdtemp(prefix="logfowd2-sessq-")
-    in_dir = f"{root}/in"
-    os.makedirs(in_dir)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         (F.col("user_id") % 40).cast("int").alias("k"), "ts"
     )
-    # Spark-side time-ordered tercile split (gate-scale input, so the
-    # single-partition ntile window is fine here; production streams
-    # arrive pre-split).  The split POSITIONS don't matter — only time
-    # order across files does — and the result is split-invariant.
-    tiled = ev.withColumn(
-        "tercile", F.ntile(3).over(Window.orderBy("ts", "k"))
-    ).persist()
-    for i in range(3):
-        tmp = f"{root}/tmp{i}"
-        (
-            tiled.filter(F.col("tercile") == i + 1)
-            .select("k", "ts")
-            .coalesce(1)
-            .write.parquet(tmp)
-        )
-        src = glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i:02d}.parquet"
-        shutil.copy(src, dst)
-        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
-    tiled.unpersist()
+    root, in_dir = _tercile_stream_input(ev, ["ts", "k"], "logfowd2-sessq-")
 
     stream = (
         spark.readStream.schema("k int, ts timestamp")
@@ -1032,38 +1035,15 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained availableNow result equals the batch join EXACTLY (the
     oracle); in production the delay is the lateness SLA and bounds
     state, trading exactness for memory like every watermarked op.
-    Input files are written Spark-side with the declared schema
-    (see streaming_sessionize: pandas round-trips drift by host)."""
-    import os
-    import shutil
-    import tempfile
-    from glob import glob
-
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
-    root = tempfile.mkdtemp(prefix="logfowd2-sjoin-")
-    in_dir = f"{root}/in"
-    os.makedirs(in_dir)
+    Input is three Spark-side-written time-ordered tercile files
+    (``_tercile_stream_input``)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
         F.col("event_type").isin("purchase", "error")
     ).select(F.col("user_id").cast("long").alias("user_id"),
              F.col("event_id").cast("long").alias("event_id"),
              "event_type", "ts")
-    tiled = ev.withColumn(
-        "tercile", F.ntile(3).over(Window.orderBy("ts", "event_id"))
-    ).persist()
-    for i in range(3):
-        tmp = f"{root}/tmp{i}"
-        (
-            tiled.filter(F.col("tercile") == i + 1)
-            .select("user_id", "event_id", "event_type", "ts")
-            .coalesce(1).write.parquet(tmp)
-        )
-        src = glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i:02d}.parquet"
-        shutil.copy(src, dst)
-        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
-    tiled.unpersist()
+    root, in_dir = _tercile_stream_input(ev, ["ts", "event_id"],
+                                         "logfowd2-sjoin-")
 
     ddl = "user_id long, event_id long, event_type string, ts timestamp"
 

@@ -1,14 +1,15 @@
-"""End-to-end tests for the streaming sessionizer.
+"""End-to-end tests for the custom streaming gates.
 
-Two gates:
-- the catalog entry runs against its own DuckDB oracle EXACTLY the way
-  the driver's correctness harness does (rows + schema + values), so an
-  environment-dependent drift (round 3: a pandas round-trip widened the
-  gate input's ``k`` to INT64 while the stream read pinned int) fails
-  here first;
+- the sessionize and interval-join catalog entries run against their
+  DuckDB oracles EXACTLY the way the driver's correctness harness does
+  (rows + schema + values), so an environment-dependent drift (round 3:
+  a pandas round-trip widened a gate input's ``k`` to INT64 while the
+  stream read pinned int) fails here first;
 - the promoted ``streaming.stream.sessionize`` operator's EVENT-TIME
   timeout genuinely EVICTS closed-session state (bounded state),
-  observed via the query's progress ``stateOperators`` counters.
+  observed via the query's progress ``stateOperators`` counters, and
+  late-but-within-watermark events widen (never corrupt) the open
+  session.
 """
 
 import os
