@@ -228,6 +228,92 @@ def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
     )
 
 
+def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
+                   gap_s: int = 7200, delay: str = "1 hour",
+                   key_ddl: str = "k int") -> DataFrame:
+    """The SAME sessionizer on Spark 4's modern arbitrary-state API
+    (``transformWithStateInPandas``): typed ValueState + explicit
+    event-time TIMERS replace applyInPandasWithState's single state
+    tuple + timeout conf.  Semantics are identical to ``sessionize``
+    (a pytest asserts output equality on the same input); this variant
+    exists because transformWithState is the forward-looking state API
+    — per-key timer management (register/delete), multiple typed state
+    variables, TTL support — and the pipeline should demonstrate both
+    generations of the interface.  Requires the RocksDB state store
+    provider (the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``) and a working
+    ``google.protobuf`` for Spark's driver-side streaming Python runner
+    — the comparison test skips, documented, where protobuf is absent
+    (this sandbox; no pip installs allowed)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
+
+    gap_us = gap_s * 1_000_000
+    out_cols = [key, "session_start", "session_end", "n_events"]
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.handle = handle
+            self.session = handle.getValueState(
+                "session", "s0 long, last long, n int"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            stamps = sorted(
+                t.value // 1000 for pdf in rows for t in pdf[ts]
+            )
+            if self.session.exists():
+                s0, last, n = self.session.get()
+                # re-arm: the old gap deadline is superseded
+                for t_old in self.handle.listTimers():
+                    self.handle.deleteTimer(t_old)
+            else:
+                s0, last, n = None, None, 0
+            closed = []
+            for t in stamps:
+                if last is None:
+                    s0, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((key_tuple[0], fmt(s0), fmt(last), n))
+                    s0, last, n = t, t, 1
+                else:
+                    # late member widens, never moves `last` backward
+                    s0, last, n = min(s0, t), max(last, t), n + 1
+            self.session.update((s0, last, n))
+            self.handle.registerTimer((last + gap_us) // 1000)  # epoch ms
+            if closed:
+                yield pd.DataFrame(closed, columns=out_cols)
+
+        def handleExpiredTimer(self, key_tuple, timerValues, info):
+            if self.session.exists():
+                s0, last, n = self.session.get()
+                self.session.clear()
+                yield pd.DataFrame(
+                    [(key_tuple[0], fmt(s0), fmt(last), n)],
+                    columns=out_cols,
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark(ts, delay)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=(
+                f"{key_ddl}, session_start string, session_end string, "
+                "n_events int"
+            ),
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def windowed_level_counts(spark: SparkSession, cfg: PipelineConfig,
                           pods: DataFrame, window: str = "1 minute",
                           watermark: str = "5 minutes"):

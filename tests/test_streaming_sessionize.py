@@ -112,6 +112,76 @@ def test_sessionize_out_of_order_merge(spark, tmp_path):
     assert r["session_end"] == "2024-01-01 10:05:00.000000"  # not 09:58!
 
 
+def _protobuf_available() -> bool:
+    # transformWithState's driver-side schema worker imports
+    # google.protobuf; absent/broken in some sandboxes (no pip allowed)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf (driver-side "
+           "StreamingPythonRunner); not installed in this sandbox",
+)
+def test_sessionize_tws_matches_classic(spark, tmp_path):
+    """The transformWithStateInPandas sessionizer (Spark 4's modern
+    arbitrary-state API: typed ValueState + explicit event-time timers)
+    produces EXACTLY the classic applyInPandasWithState sessionizer's
+    output on the same multi-batch input — same sessions, same bounds,
+    same timeout closures."""
+    from pyspark.sql import functions as F
+
+    from logfowd2_spark.plans.catalog import _tercile_stream_input
+    from logfowd2_spark.streaming.stream import sessionize, sessionize_tws
+
+    SF = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        (F.col("user_id") % 40).cast("int").alias("k"), "ts"
+    )
+    root, in_dir = _tercile_stream_input(ev, ["ts", "k"], "logfowd2-tws-")
+
+    def run(op, name, extra_conf=None):
+        if extra_conf:
+            for k, v in extra_conf.items():
+                spark.conf.set(k, v)
+        stream = (
+            spark.readStream.schema("k int, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        out = op(stream, key="k", ts="ts", gap_s=7200, delay="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt-{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), f"{name} didn't drain"
+        return sorted(
+            tuple(r) for r in spark.sql(
+                f"SELECT k, session_start, session_end, n_events FROM {name}"
+            ).collect()
+        )
+
+    classic = run(sessionize, "tws_classic")
+    modern = run(
+        sessionize_tws, "tws_modern",
+        # transformWithState requires the RocksDB state store
+        {"spark.sql.streaming.stateStore.providerClass":
+         "org.apache.spark.sql.execution.streaming.state."
+         "RocksDBStateStoreProvider"},
+    )
+    assert len(classic) > 0
+    assert modern == classic
+
+
 def test_sessionize_event_time_eviction(spark, tmp_path):
     """Keys whose gap deadline the watermark passes are emitted by
     timeout AND their state rows removed; an open session's state
