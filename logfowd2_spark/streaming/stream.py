@@ -146,6 +146,37 @@ def stateful_dedup_stream(spark: SparkSession, cfg: PipelineConfig,
     return writer.start()
 
 
+def _fmt_session_ts(us: int) -> str:
+    """µs epoch → microsecond-precision string (byte-comparable by the
+    batch oracles)."""
+    import pandas as pd  # noqa: PLC0415
+
+    return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def _session_fold(stamps, s0, last, n, gap_us, key_val, closed):
+    """The ONE session state machine both sessionizer backends run:
+    fold sorted µs timestamps into the open session ``(s0, last, n)``,
+    appending closed sessions to ``closed``.  A gap > ``gap_us`` closes
+    the session IMMEDIATELY; a late-but-within-watermark event from an
+    earlier micro-batch may PRECEDE the open session's bounds and
+    merges by WIDENING (never move ``last`` backward — that would
+    corrupt session_end and make the next gap check split a live
+    session; no retroactive re-splitting — the standard
+    streaming-sessionization contract).  Returns the updated
+    ``(s0, last, n)``."""
+    for t in stamps:
+        if last is None:
+            s0, last, n = t, t, 1
+        elif t - last > gap_us:
+            closed.append((key_val, _fmt_session_ts(s0),
+                           _fmt_session_ts(last), n))
+            s0, last, n = t, t, 1
+        else:
+            s0, last, n = min(s0, t), max(last, t), n + 1
+    return s0, last, n
+
+
 def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
                gap_s: int = 7200, delay: str = "1 hour",
                key_ddl: str = "k int") -> DataFrame:
@@ -173,15 +204,13 @@ def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
 
     gap_us = gap_s * 1_000_000
 
-    def fmt(us: int) -> str:
-        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
-
     def sessionize_fn(key_tuple, pdf_iter, state):
         if state.hasTimedOut:
             s0, last, n = state.get
             state.remove()
             yield pd.DataFrame(
-                [(key_tuple[0], fmt(s0), fmt(last), n)],
+                [(key_tuple[0], _fmt_session_ts(s0), _fmt_session_ts(last),
+                  n)],
                 columns=[key, "session_start", "session_end", "n_events"],
             )
             return
@@ -189,21 +218,8 @@ def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
         stamps = sorted(t.value // 1000 for t in rows[ts])  # ns → µs
         s0, last, n = state.get if state.exists else (None, None, 0)
         closed = []
-        for t in stamps:
-            if last is None:
-                s0, last, n = t, t, 1
-            elif t - last > gap_us:
-                closed.append((key_tuple[0], fmt(s0), fmt(last), n))
-                s0, last, n = t, t, 1
-            else:
-                # a late-but-within-watermark event from an earlier
-                # micro-batch may PRECEDE the open session's bounds:
-                # merge by widening (never move `last` backward — that
-                # would corrupt session_end and make the next gap check
-                # split a live session).  No retroactive re-splitting:
-                # an out-of-order member joins the open session, the
-                # standard streaming-sessionization contract.
-                s0, last, n = min(s0, t), max(last, t), n + 1
+        s0, last, n = _session_fold(stamps, s0, last, n, gap_us,
+                                    key_tuple[0], closed)
         state.update((s0, last, n))
         state.setTimeoutTimestamp((last + gap_us) // 1000)  # epoch ms
         if closed:
@@ -251,9 +267,6 @@ def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
     gap_us = gap_s * 1_000_000
     out_cols = [key, "session_start", "session_end", "n_events"]
 
-    def fmt(us: int) -> str:
-        return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
-
     class SessionProcessor(StatefulProcessor):
         def init(self, handle) -> None:
             self.handle = handle
@@ -273,15 +286,8 @@ def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
             else:
                 s0, last, n = None, None, 0
             closed = []
-            for t in stamps:
-                if last is None:
-                    s0, last, n = t, t, 1
-                elif t - last > gap_us:
-                    closed.append((key_tuple[0], fmt(s0), fmt(last), n))
-                    s0, last, n = t, t, 1
-                else:
-                    # late member widens, never moves `last` backward
-                    s0, last, n = min(s0, t), max(last, t), n + 1
+            s0, last, n = _session_fold(stamps, s0, last, n, gap_us,
+                                        key_tuple[0], closed)
             self.session.update((s0, last, n))
             self.handle.registerTimer((last + gap_us) // 1000)  # epoch ms
             if closed:
@@ -292,7 +298,8 @@ def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
                 s0, last, n = self.session.get()
                 self.session.clear()
                 yield pd.DataFrame(
-                    [(key_tuple[0], fmt(s0), fmt(last), n)],
+                    [(key_tuple[0], _fmt_session_ts(s0),
+                      _fmt_session_ts(last), n)],
                     columns=out_cols,
                 )
 

@@ -119,8 +119,8 @@ def _protobuf_available() -> bool:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
-    except ImportError:
-        return False
+    except Exception:  # absent OR broken (C-extension mismatches raise
+        return False   # non-ImportError) — either way: skip, don't error
 
 
 @pytest.mark.skipif(
@@ -136,7 +136,7 @@ def test_sessionize_tws_matches_classic(spark, tmp_path):
     same timeout closures."""
     from pyspark.sql import functions as F
 
-    from logfowd2_spark.plans.catalog import _tercile_stream_input
+    from logfowd2_spark.plans.catalog import _await_stream, _tercile_stream_input
     from logfowd2_spark.streaming.stream import sessionize, sessionize_tws
 
     SF = "/root/testdata/sf0.001"
@@ -145,10 +145,7 @@ def test_sessionize_tws_matches_classic(spark, tmp_path):
     )
     root, in_dir = _tercile_stream_input(ev, ["ts", "k"], "logfowd2-tws-")
 
-    def run(op, name, extra_conf=None):
-        if extra_conf:
-            for k, v in extra_conf.items():
-                spark.conf.set(k, v)
+    def run(op, name):
         stream = (
             spark.readStream.schema("k int, ts timestamp")
             .option("maxFilesPerTrigger", "1")
@@ -163,7 +160,7 @@ def test_sessionize_tws_matches_classic(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(300), f"{name} didn't drain"
+        _await_stream(q)  # stops the query loudly on timeout
         return sorted(
             tuple(r) for r in spark.sql(
                 f"SELECT k, session_start, session_end, n_events FROM {name}"
@@ -171,13 +168,26 @@ def test_sessionize_tws_matches_classic(spark, tmp_path):
         )
 
     classic = run(sessionize, "tws_classic")
-    modern = run(
-        sessionize_tws, "tws_modern",
-        # transformWithState requires the RocksDB state store
-        {"spark.sql.streaming.stateStore.providerClass":
-         "org.apache.spark.sql.execution.streaming.state."
-         "RocksDBStateStoreProvider"},
+    # transformWithState requires the RocksDB state store; restore the
+    # prior provider afterwards so the session-scoped fixture's other
+    # streaming tests keep the backend they were written against
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior = spark.conf.get(conf_key)
+    except Exception:
+        prior = None
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
+    try:
+        modern = run(sessionize_tws, "tws_modern")
+    finally:
+        if prior is not None:
+            spark.conf.set(conf_key, prior)
+        else:
+            spark.conf.unset(conf_key)
     assert len(classic) > 0
     assert modern == classic
 
