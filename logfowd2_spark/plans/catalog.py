@@ -53,6 +53,36 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+#: Deprecation map for the round-4 catalog consolidation (57 → 50
+#: entries): each removed public query name → the registered query that
+#: absorbed its semantics.  The aliases are deliberately NOT registered
+#: (the catalog stays at 50 so every entry keeps fresh oracle evidence
+#: each round); consumers keyed on an old name resolve it through
+#: ``resolve_query`` / ``resolve_oracle`` instead of hitting a KeyError.
+#: Note the absorbing query's OUTPUT SCHEMA differs from the removed
+#: one's (it is the merged query), so this is an explicit migration
+#: pointer, not a drop-in: e.g. ``join_semi_anti_customers`` tags each
+#: row 'semi'/'anti' where the old pair returned two separate tables.
+QUERY_ALIASES: dict[str, str] = {
+    "join_semi_customers": "join_semi_anti_customers",
+    "join_anti_customers": "join_semi_anti_customers",
+    "set_intersect_custkeys": "set_ops_custkeys",
+    "set_except_custkeys": "set_ops_custkeys",
+    "lang_id_heuristic": "quality_score",
+    "pipe_ndjson_bulk": "pipe_doc_projection",
+}
+
+
+def resolve_query(name: str) -> SparkQuery:
+    """The registered query for ``name``, following ``QUERY_ALIASES``
+    for names removed in a catalog consolidation."""
+    return _QUERIES[QUERY_ALIASES.get(name, name)]
+
+
+def resolve_oracle(name: str) -> str:
+    return _ORACLES[QUERY_ALIASES.get(name, name)]
+
+
 def _sql(spark: SparkSession, sf_dir: str, query: str,
          tables: list[str]) -> DataFrame:
     """Register the needed parquet tables as temp views and run Spark SQL."""

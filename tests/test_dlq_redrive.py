@@ -167,10 +167,12 @@ def test_redrive_loop_backoff_schedule(spark, tmp_path):
         gauges=gauges, sleep_fn=slept.append,
     )
     sched = out["schedule"]
-    # gen 0 immediate; two recovery-free generations double the delay
-    # (30*2^1=60), then the cap clips 30*2^2=120 → 100
-    assert [s["delay_s"] for s in sched] == [0.0, 60.0, 100.0]
-    assert slept == [60.0, 100.0]
+    # gen 0 immediate; after one recovery-free generation the schedule
+    # STARTS at the configured base delay (30 = 30*2^0, the reference's
+    # documented base, dead_letter_queue.rs:31-40), then doubles (60);
+    # a further failure would hit the cap (30*2^2=120 → 100)
+    assert [s["delay_s"] for s in sched] == [0.0, 30.0, 60.0]
+    assert slept == [30.0, 60.0]
     assert [s["recovered"] for s in sched] == [0, 0, n_transient]
     assert sched[-1]["generation"] == 2
     assert out["totals"]["recovered"] == n_transient

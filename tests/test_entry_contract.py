@@ -56,3 +56,17 @@ def test_sampled_query_matches_oracle(spark, duck, name):
     odf = duck.sql(entrymod.oracle_sql()[name]).df()
     ok, why = frames_match(sdf, odf)
     assert ok, f"{name}: {why}"
+
+
+def test_query_aliases_resolve():
+    """Names removed in the round-4 catalog consolidation keep a
+    documented deprecation path: resolve_query follows QUERY_ALIASES to
+    the absorbing registered query instead of raising KeyError."""
+    for old, new in catalog.QUERY_ALIASES.items():
+        assert old not in catalog.queries()          # stays unregistered
+        assert new in catalog.queries()              # target is live
+        assert catalog.resolve_query(old) is catalog.queries()[new]
+        assert catalog.resolve_oracle(old) == catalog.oracle_sql()[new]
+    # a registered name resolves to itself
+    assert (catalog.resolve_query("flagship_pipeline")
+            is catalog.queries()["flagship_pipeline"])
