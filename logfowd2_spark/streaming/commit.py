@@ -230,9 +230,13 @@ class PutCommitter:
     # -- object-store primitive emulations (the only fs ops used) --------
     @staticmethod
     def _put_copy(src: str, dst: str) -> None:
+        # routed through the atomic temp+replace path: a present
+        # destination object must ALWAYS be complete, because both
+        # move_files' idempotence check and recover()'s replay treat
+        # existence as done — a plain open/write here could crash
+        # mid-copy and leave a truncated file the retry then keeps
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        with open(src, "rb") as fi, open(dst, "wb") as fo:
-            shutil.copyfileobj(fi, fo)
+        _atomic_put_file(dst, src_path=src)
 
     @staticmethod
     def _put_bytes(path: str, data: bytes) -> None:
@@ -380,12 +384,57 @@ def read_file_manifest(live: str) -> dict | None:
 
 
 def write_file_manifest(committer, live: str, files: list[str],
-                        generation: int = 0) -> None:
+                        generation: int = 0,
+                        stats: dict[str, dict] | None = None) -> None:
     """Atomically (re)publish ``live``'s manifest — the commit point of
-    every generation flip."""
+    every generation flip.  ``stats`` (per-file ``{"rows": n, "bytes":
+    b}``, keyed by relative path) is the manifest-carried metadata that
+    lets every later consumer — partition lineage, the DLQ cap, the
+    metrics gauge — answer row/size questions WITHOUT re-opening parquet
+    footers: at a 10⁶-file batch the per-batch footer re-walks are
+    minutes of serial driver I/O, the analogue of the reference losing
+    its metadata cache (metadata_cache.rs:37-100)."""
+    doc: dict = {"generation": generation, "files": files}
+    if stats is not None:
+        doc["stats"] = stats
     committer.put_file(
-        os.path.join(live, FILE_MANIFEST),
-        json.dumps({"generation": generation, "files": files}).encode(),
+        os.path.join(live, FILE_MANIFEST), json.dumps(doc).encode(),
+    )
+
+
+def collect_file_stats(root: str, files: list[str]) -> dict[str, dict]:
+    """Per-file ``{"rows", "bytes"}`` from the parquet footers — run
+    ONCE at commit time over the just-written files, so every later
+    metadata consumer reads the manifest instead of the footers."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    out: dict[str, dict] = {}
+    for rel in files:
+        full = os.path.join(root, rel)
+        out[rel] = {
+            "rows": pq.ParquetFile(full).metadata.num_rows,
+            "bytes": os.path.getsize(full),
+        }
+    return out
+
+
+def manifest_rows(live: str) -> int | None:
+    """Row count of ``live``'s CURRENT generation from its manifest, or
+    None when no manifest exists.  Prefers the manifest-carried stats
+    (zero footer opens); a stats-less legacy manifest is resolved by
+    footer-reading exactly the files it references (the logical
+    generation — a raw directory walk would also count files a deferred
+    vacuum has not yet reaped)."""
+    man = read_file_manifest(live)
+    if man is None:
+        return None
+    stats = man.get("stats")
+    if stats is not None and all(f in stats for f in man["files"]):
+        return sum(int(stats[f]["rows"]) for f in man["files"])
+    from logfowd2_spark.ioutil import footer_num_rows  # noqa: PLC0415
+
+    return sum(
+        footer_num_rows(os.path.join(live, f)) for f in man["files"]
     )
 
 
@@ -427,14 +476,15 @@ def _publish_from_marker(committer, staged: str, live: str,
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         committer.put_file(dst, src_path=os.path.join(staged, rel))
     write_file_manifest(committer, live, marker["files"],
-                        marker["generation"])
+                        marker["generation"], stats=marker.get("stats"))
     if vacuum:
         vacuum_unreferenced(live)
     shutil.rmtree(staged, ignore_errors=True)
 
 
 def manifest_swap(committer, live: str, staged: str,
-                  vacuum: bool = True) -> None:
+                  vacuum: bool = True,
+                  stats: dict[str, dict] | None = None) -> None:
     """Replace ``live``'s data with ``staged``'s via a manifest flip:
 
     1. put ``<stage>/_PUBLISH_READY`` (files + next generation) — from
@@ -453,9 +503,12 @@ def manifest_swap(committer, live: str, staged: str,
     man = read_file_manifest(live)
     gen = (man["generation"] + 1) if man else 1
     files = [f for f in data_files(staged)]
+    if stats is None:
+        stats = collect_file_stats(staged, files)
     committer.put_file(
         os.path.join(staged, PUBLISH_MARKER),
-        json.dumps({"generation": gen, "files": files}).encode(),
+        json.dumps({"generation": gen, "files": files,
+                    "stats": stats}).encode(),
     )
     _publish_from_marker(committer, staged, live, vacuum=vacuum)
 

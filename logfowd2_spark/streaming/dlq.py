@@ -232,15 +232,18 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     )
     n_recovered = _obs_n(rec_obs)
     # redrive batches are routed batches like any other: publish the
-    # generation-0 file manifest so manifest-resolving readers (and a
-    # later compaction's generation flip) get the same snapshot
-    # isolation here as on regular batch dirs
+    # generation-0 file manifest (files + commit-time stats) so
+    # manifest-resolving readers (and a later compaction's generation
+    # flip) get the same snapshot isolation and footer-free metadata
+    # here as on regular batch dirs
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        data_files, get_committer, write_file_manifest,
+        collect_file_stats, data_files, get_committer, write_file_manifest,
     )
 
+    rec_files = data_files(out_dir)
     write_file_manifest(get_committer(cfg.commit_protocol), out_dir,
-                        data_files(out_dir), generation=0)
+                        rec_files, generation=0,
+                        stats=collect_file_stats(out_dir, rec_files))
 
     # new DLQ generation: requeued + permanently-failed rows, written
     # distributed into a fresh batch_id dir (created after the source
@@ -257,6 +260,12 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     )
     n_requeued = _obs_n(rq_obs)
     n_dropped = _obs_n(pf_obs)
+    # the new quarantine generation carries its manifest too — the DLQ
+    # cap and the metrics gauge count it without opening footers
+    new_files = data_files(new_dir)
+    write_file_manifest(get_committer(cfg.commit_protocol), new_dir,
+                        new_files, generation=0,
+                        stats=collect_file_stats(new_dir, new_files))
     result = {
         "recovered": n_recovered,
         "requeued": n_requeued,
@@ -339,8 +348,14 @@ def redrive_loop(spark: SparkSession, cfg: PipelineConfig, pods: DataFrame,
             break
         delay = 0.0
         if schedule:  # the first attempt runs immediately, like take_batch
-            delay = min(base_delay_s * (2 ** gauges.consecutive_failures),
-                        max_delay_s)
+            # exponent is (streak - 1): after ONE failed generation the
+            # schedule starts at the configured base delay (30 s,
+            # dead_letter_queue.rs:31-40), doubling per further failure
+            # — 2**streak skipped the base and started at 60 s
+            delay = min(
+                base_delay_s * (2 ** max(0, gauges.consecutive_failures - 1)),
+                max_delay_s,
+            )
             sleep(delay)
         gen = next_redrive_generation(dlq_path)
         t0 = time.perf_counter()
@@ -462,7 +477,20 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
             overflow -= n
             dropped += n
             continue
-        # boundary generation: drop its oldest `overflow` rows
+        # boundary generation: drop its oldest `overflow` rows.  The
+        # generation's manifest is DELETED first and rewritten after the
+        # mutation — in the crash window between, counts fall back to
+        # footer reads of the actual surviving files instead of trusting
+        # stats that still reference deleted ones
+        from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+            FILE_MANIFEST, collect_file_stats, data_files, get_committer,
+            write_file_manifest,
+        )
+
+        try:
+            os.remove(os.path.join(d, FILE_MANIFEST))
+        except OSError:
+            pass
         acc = 0
         for path, rows, _min_doc in sorted(
             _gen_file_stats(d), key=lambda t: (t[2], t[0])
@@ -506,6 +534,10 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
             os.remove(path)
             shutil.rmtree(stage, ignore_errors=True)
             acc = overflow
+        surviving = data_files(d)
+        write_file_manifest(get_committer(cfg.commit_protocol), d,
+                            surviving, generation=0,
+                            stats=collect_file_stats(d, surviving))
         dropped += acc
         overflow = 0
     return dropped

@@ -122,11 +122,17 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
     )
     # events exported == batch rows, counted over the SAME resolved
     # file set the export read (a directory walk would double-count in
-    # the unrecovered window of an interrupted generation swap)
-    import pyarrow.parquet as pq  # noqa: PLC0415
+    # the unrecovered window of an interrupted generation swap); a
+    # manifest-bearing dir answers from its commit-time stats
+    from logfowd2_spark.streaming.commit import manifest_rows  # noqa: PLC0415
 
     if paths == [batch_dir]:
         return _tree_num_rows(batch_dir)
+    n = manifest_rows(batch_dir)
+    if n is not None:
+        return n
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
@@ -149,7 +155,8 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     Returns {files_before, files_after, rows}.
     """
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        get_committer, manifest_swap, stage_path,
+        collect_file_stats, data_files, get_committer, manifest_swap,
+        stage_path,
     )
 
     import pyarrow.parquet as pq  # noqa: PLC0415
@@ -166,7 +173,9 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     # read AND count through the manifest resolution: a directory walk
     # would pick up unreferenced files (a deliberately deferred vacuum)
     # and the rewrite would silently COMMIT the doubled rows — both
-    # sides of the row-count guard would agree on the wrong number
+    # sides of the row-count guard would agree on the wrong number.
+    # tree_num_rows/files are manifest-resolving, so a manifest-bearing
+    # batch dir answers from commit-time stats with zero footer opens.
     paths = resolve_batch_paths(root, batch_id) or [batch_dir]
     files_before = _tree_num_files(batch_dir)
     df = spark.read.option("basePath", batch_dir).parquet(*paths)
@@ -181,13 +190,17 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         rows_before = _tree_num_rows(batch_dir)
     else:
         rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-    rows_after = _tree_num_rows(tmp)
+    # ONE footer pass over the fresh generation serves both the verify
+    # guard and the swapped-in manifest's stats
+    new_files = data_files(tmp)
+    new_stats = collect_file_stats(tmp, new_files)
+    rows_after = sum(s["rows"] for s in new_stats.values())
     if rows_before != rows_after:  # never swap a lossy rewrite
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}"
         )
-    manifest_swap(committer, batch_dir, tmp)
+    manifest_swap(committer, batch_dir, tmp, stats=new_stats)
     return {
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),

@@ -211,38 +211,33 @@ def _stats_from_observation(vals: dict, sinks: list[str]) -> dict[str, dict[str,
     return agg
 
 
-def _partition_lineage_from_footers(out_dir: str) -> list[dict]:
-    """Per-partition lineage from the written parquet footers — pure
-    driver-side metadata reads (no Spark job, no data scan).  The task
-    (= write partition) id is encoded in the file name
-    (``part-NNNNN-...``); row counts come from the footer.
-    """
-    import pyarrow.parquet as pq
-
+def _lineage_from_stats(files: list[str], stats: dict[str, dict]) -> list[dict]:
+    """Per-partition lineage derived from the manifest file list + its
+    commit-time stats — NO footer reads (the one footer pass happened
+    when the stats were collected at commit).  The task (= write
+    partition) id is encoded in the file name (``part-NNNNN-...``);
+    partition values come from the relative path."""
     rows: list[dict] = []
-    for root, _dirs, files in os.walk(out_dir):
-        for fn in sorted(files):
-            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
-                continue
-            full = os.path.join(root, fn)
-            parts = dict(
-                seg.split("=", 1)
-                for seg in os.path.relpath(root, out_dir).split(os.sep)
-                if "=" in seg
-            )
-            try:
-                pid = int(fn.split("-")[1])
-            except (IndexError, ValueError):
-                pid = -1
-            rows.append(
-                {
-                    "partition_id": pid,
-                    "sink_id": parts.get("sink_id", ""),
-                    "log_date": parts.get("log_date", ""),
-                    "rows_routed": pq.ParquetFile(full).metadata.num_rows,
-                    "file_bytes": os.path.getsize(full),
-                }
-            )
+    for rel in sorted(files):
+        parts = dict(
+            seg.split("=", 1)
+            for seg in rel.split("/")[:-1]
+            if "=" in seg
+        )
+        fn = os.path.basename(rel)
+        try:
+            pid = int(fn.split("-")[1])
+        except (IndexError, ValueError):
+            pid = -1
+        rows.append(
+            {
+                "partition_id": pid,
+                "sink_id": parts.get("sink_id", ""),
+                "log_date": parts.get("log_date", ""),
+                "rows_routed": int(stats[rel]["rows"]),
+                "file_bytes": int(stats[rel]["bytes"]),
+            }
+        )
     return rows
 
 
@@ -308,23 +303,38 @@ def execute_unified_batch(
 
     vals = observation_values(obs)  # populated by the write job — no second scan
 
-    # lineage BEFORE the quarantine move so the walk sees one layout;
-    # __dlq__ rows are excluded from routed lineage below
-    lineage = [
-        r for r in _partition_lineage_from_footers(out_dir)
-        if r["sink_id"] != DLQ_SINK
-    ]
+    # ONE commit-time footer pass over the just-written files feeds
+    # everything downstream: the partition lineage, the batch's
+    # ``_FILES.json`` manifest (files + per-file rows/bytes stats), and
+    # the quarantine generation's manifest — so no later consumer
+    # (metrics gauge, DLQ cap, lineage reads) ever re-walks footers
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        collect_file_stats, data_files, get_committer, write_file_manifest,
+    )
+
+    committer = get_committer(cfg.commit_protocol)
+    files_all = data_files(out_dir)  # still includes sink_id=__dlq__/...
+    stats_all = collect_file_stats(out_dir, files_all)
+    dlq_prefix = f"sink_id={DLQ_SINK}/"
+    routed_files = [f for f in files_all if not f.startswith(dlq_prefix)]
+    lineage = _lineage_from_stats(routed_files, stats_all)
     _move_dlq_partition(out_dir, dlq_batch_dir, cfg)
 
     # publish the batch's file manifest (generation 0) — the pointer
     # manifest-resolving readers use, and the anchor every later
     # compaction's generation flip replaces atomically (commit.py)
-    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        data_files, get_committer, write_file_manifest,
-    )
-
-    write_file_manifest(get_committer(cfg.commit_protocol), out_dir,
-                        data_files(out_dir), generation=0)
+    write_file_manifest(committer, out_dir, routed_files, generation=0,
+                        stats={f: stats_all[f] for f in routed_files})
+    if os.path.isdir(dlq_batch_dir):
+        # the moved quarantine files keep their (unique) basenames and
+        # contents, so the pre-move stats carry over 1:1
+        dlq_stats = {
+            os.path.basename(f): stats_all[f]
+            for f in files_all if f.startswith(dlq_prefix)
+        }
+        write_file_manifest(committer, dlq_batch_dir,
+                            sorted(dlq_stats), generation=0,
+                            stats=dlq_stats)
 
     agg = _stats_from_observation(vals, sinks)
     dlq_stats_row = agg.pop(DLQ_SINK, None)
