@@ -104,6 +104,16 @@ class PipelineConfig:
     sink_fault_sink: str | None = None
     sink_fault_until_retry: int = 1
 
+    # --- snapshot-retention window for compaction swaps (seconds).
+    # 0 = vacuum the superseded generation at the flip (single-writer
+    # local default, keeps exactly one generation on disk); > 0 = the
+    # old generation is RETAINED as a ``retired`` manifest entry and
+    # reaped by the ``vacuum_expired`` maintenance pass only once this
+    # window passes — Iceberg snapshot expiry on the plain layout, so a
+    # reader that resolved the pre-swap manifest survives both the flip
+    # AND the vacuum for at least this long (streaming/commit.py).
+    vacuum_retention_s: float = 0.0
+
     # --- commit protocol for in-place table mutations (quarantine move,
     # compaction swap, DLQ trim): "rename" = POSIX/HDFS metadata renames
     # (atomic rename assumed); "put" = object-store-safe replayable
@@ -138,6 +148,8 @@ class PipelineConfig:
             raise ValueError("commit_protocol must be 'rename' or 'put'")
         if self.dlq_max_size <= 0:
             raise ValueError("dlq_max_size must be > 0")
+        if self.vacuum_retention_s < 0:
+            raise ValueError("vacuum_retention_s must be >= 0")
         if self.sink_fault_sink is not None and self.sink_fault_until_retry < 1:
             raise ValueError("sink_fault_until_retry must be >= 1 when "
                              "sink_fault_sink is set")

@@ -385,7 +385,8 @@ def read_file_manifest(live: str) -> dict | None:
 
 def write_file_manifest(committer, live: str, files: list[str],
                         generation: int = 0,
-                        stats: dict[str, dict] | None = None) -> None:
+                        stats: dict[str, dict] | None = None,
+                        retired: list[dict] | None = None) -> None:
     """Atomically (re)publish ``live``'s manifest — the commit point of
     every generation flip.  ``stats`` (per-file ``{"rows": n, "bytes":
     b}``, keyed by relative path) is the manifest-carried metadata that
@@ -397,6 +398,8 @@ def write_file_manifest(committer, live: str, files: list[str],
     doc: dict = {"generation": generation, "files": files}
     if stats is not None:
         doc["stats"] = stats
+    if retired:
+        doc["retired"] = retired
     committer.put_file(
         os.path.join(live, FILE_MANIFEST), json.dumps(doc).encode(),
     )
@@ -440,24 +443,70 @@ def manifest_rows(live: str) -> int | None:
 
 def vacuum_unreferenced(live: str) -> list[str]:
     """Delete data files the current manifest does not reference (the
-    superseded generation).  Returns the removed relative paths.  No-op
-    without a manifest."""
+    superseded generation).  Files held by a RETIRED entry (a deferred
+    retention window — see ``vacuum_expired``) are kept.  Returns the
+    removed relative paths.  No-op without a manifest."""
     man = read_file_manifest(live)
     if man is None:
         return []
     keep = set(man["files"])
+    for ent in man.get("retired", []):
+        keep.update(ent["files"])
     removed = []
     for rel in data_files(live):
         if rel not in keep:
             os.remove(os.path.join(live, rel))
             removed.append(rel)
-    # drop now-empty partition dirs so listings don't accumulate husks
+    _prune_empty_dirs(live)
+    return removed
+
+
+def _prune_empty_dirs(live: str) -> None:
+    """Drop now-empty partition dirs so listings don't accumulate husks."""
     for r, dirs, files in os.walk(live, topdown=False):
         if r != live and not dirs and not files:
             try:
                 os.rmdir(r)
             except OSError:
                 pass
+
+
+def vacuum_expired(committer, live: str, retention_s: float,
+                   now: float | None = None) -> list[str]:
+    """Snapshot expiry — the deferred half of the retention model
+    (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` on the plain
+    layout): delete retired generations whose supersession is at least
+    ``retention_s`` old, and atomically rewrite the manifest without
+    the expired entries.  A reader that resolved the OLD manifest
+    before the flip keeps its complete generation until the window
+    passes — the isolation guarantee ``manifest_swap`` alone only gave
+    until its immediate vacuum.  Returns the removed relative paths."""
+    import time as _time  # noqa: PLC0415
+
+    man = read_file_manifest(live)
+    if man is None or not man.get("retired"):
+        return []
+    now = _time.time() if now is None else now
+    keep_current = set(man["files"])
+    remaining: list[dict] = []
+    removed: list[str] = []
+    for ent in man["retired"]:
+        if now - ent["superseded_at"] >= retention_s:
+            for rel in ent["files"]:
+                if rel in keep_current:
+                    continue
+                try:
+                    os.remove(os.path.join(live, rel))
+                except OSError:
+                    pass
+                removed.append(rel)
+        else:
+            remaining.append(ent)
+    if len(remaining) != len(man["retired"]):
+        write_file_manifest(committer, live, man["files"],
+                            man["generation"], stats=man.get("stats"),
+                            retired=remaining)
+        _prune_empty_dirs(live)
     return removed
 
 
@@ -476,15 +525,19 @@ def _publish_from_marker(committer, staged: str, live: str,
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         committer.put_file(dst, src_path=os.path.join(staged, rel))
     write_file_manifest(committer, live, marker["files"],
-                        marker["generation"], stats=marker.get("stats"))
+                        marker["generation"], stats=marker.get("stats"),
+                        retired=marker.get("retired"))
     if vacuum:
+        # retired entries are protected inside vacuum_unreferenced, so
+        # this only reaps genuinely untracked debris on a retained swap
         vacuum_unreferenced(live)
     shutil.rmtree(staged, ignore_errors=True)
 
 
 def manifest_swap(committer, live: str, staged: str,
                   vacuum: bool = True,
-                  stats: dict[str, dict] | None = None) -> None:
+                  stats: dict[str, dict] | None = None,
+                  retain_previous: bool = False) -> None:
     """Replace ``live``'s data with ``staged``'s via a manifest flip:
 
     1. put ``<stage>/_PUBLISH_READY`` (files + next generation) — from
@@ -494,21 +547,40 @@ def manifest_swap(committer, live: str, staged: str,
     3. put ``live/_FILES.json`` naming exactly the new files — the
        ATOMIC commit point for every reader;
     4. delete the stage;
-    5. vacuum the superseded generation (immediately here; deferred by
-       a retention window on a shared object store).
+    5. vacuum the superseded generation — immediately by default, or,
+       with ``retain_previous``, NOT AT ALL here: the old generation is
+       recorded as a ``retired`` manifest entry (files +
+       ``superseded_at``) and reaped later by ``vacuum_expired`` once a
+       retention window passes — Iceberg's snapshot-expiry model, so a
+       reader that resolved the pre-swap manifest keeps a complete old
+       generation across AND past the flip.
 
     Unlike the directory-swap protocols, readers holding the old
     manifest keep a complete, undisturbed old generation until step 5.
-    """
+    The supersession timestamp is taken once here and carried in the
+    replay marker, so a crash-replayed swap retires with the ORIGINAL
+    time (idempotent; the window never restarts)."""
+    import time as _time  # noqa: PLC0415
+
     man = read_file_manifest(live)
     gen = (man["generation"] + 1) if man else 1
     files = [f for f in data_files(staged)]
     if stats is None:
         stats = collect_file_stats(staged, files)
+    retired: list[dict] = []
+    if retain_previous and man is not None:
+        retired = list(man.get("retired", []))
+        prev = [f for f in man["files"] if f not in set(files)]
+        if prev:
+            retired.append({
+                "generation": man["generation"],
+                "files": prev,
+                "superseded_at": _time.time(),
+            })
     committer.put_file(
         os.path.join(staged, PUBLISH_MARKER),
         json.dumps({"generation": gen, "files": files,
-                    "stats": stats}).encode(),
+                    "stats": stats, "retired": retired}).encode(),
     )
     _publish_from_marker(committer, staged, live, vacuum=vacuum)
 

@@ -83,6 +83,32 @@ def recover_compactions(cfg: PipelineConfig) -> list[str]:
     )
 
 
+def vacuum_expired_table(cfg: PipelineConfig,
+                         now: float | None = None) -> dict[str, list[str]]:
+    """Snapshot-expiry maintenance over the whole routed table: run
+    ``vacuum_expired`` (commit.py) on every batch dir, reaping retired
+    generations older than ``cfg.vacuum_retention_s``.  Metadata-only —
+    manifest reads plus deletes of expired files; no Spark job.  Returns
+    {batch_dir_name: removed_files} for the dirs that changed."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, vacuum_expired,
+    )
+
+    committer = get_committer(cfg.commit_protocol)
+    root = os.path.join(cfg.output_path, "routed")
+    out: dict[str, list[str]] = {}
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch_id="):
+            continue
+        removed = vacuum_expired(committer, os.path.join(root, name),
+                                 cfg.vacuum_retention_s, now=now)
+        if removed:
+            out[name] = removed
+    return out
+
+
 def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
                        batch_id: str, out_dir: str) -> int:
     """Export one committed batch as Elasticsearch ``_bulk``-shaped
@@ -200,7 +226,12 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         raise RuntimeError(
             f"compaction row mismatch: {rows_before} -> {rows_after}"
         )
-    manifest_swap(committer, batch_dir, tmp, stats=new_stats)
+    # vacuum_retention_s > 0 defers the old generation's removal to the
+    # vacuum_expired maintenance pass (snapshot expiry), so a reader
+    # that resolved the pre-swap manifest survives flip AND vacuum
+    manifest_swap(committer, batch_dir, tmp, stats=new_stats,
+                  vacuum=cfg.vacuum_retention_s <= 0,
+                  retain_previous=cfg.vacuum_retention_s > 0)
     return {
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),

@@ -435,6 +435,14 @@ def run_pipeline(
     committer = get_committer(cfg.commit_protocol)
     committer.recover(os.path.join(cfg.output_path, "routed"))
     committer.recover(os.path.join(cfg.output_path, "parse_failures"))
+    if cfg.vacuum_retention_s > 0:
+        # snapshot-expiry maintenance: reap retired generations whose
+        # retention window has passed (manifest reads only, no Spark job)
+        from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
+            vacuum_expired_table,
+        )
+
+        vacuum_expired_table(cfg)
 
     files = list_input_files(spark, cfg.input_path)
     fpb = files_per_batch or len(files)
