@@ -520,7 +520,12 @@ def _publish_from_marker(committer, staged: str, live: str,
     drive the state back to a single one."""
     with open(os.path.join(staged, PUBLISH_MARKER)) as fh:
         marker = json.load(fh)
-    for rel in marker["files"]:
+    # "publish" = the files physically staged here; "files" = the full
+    # new-generation list (a consolidating append keeps the previous
+    # generation's files in place — they are immutable and re-listed,
+    # not re-copied).  Markers written before the split carry only
+    # "files", all of which were staged.
+    for rel in marker.get("publish", marker["files"]):
         dst = os.path.join(live, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         committer.put_file(dst, src_path=os.path.join(staged, rel))
@@ -537,7 +542,8 @@ def _publish_from_marker(committer, staged: str, live: str,
 def manifest_swap(committer, live: str, staged: str,
                   vacuum: bool = True,
                   stats: dict[str, dict] | None = None,
-                  retain_previous: bool = False) -> None:
+                  retain_previous: bool = False,
+                  keep_prev_files: bool = False) -> None:
     """Replace ``live``'s data with ``staged``'s via a manifest flip:
 
     1. put ``<stage>/_PUBLISH_READY`` (files + next generation) — from
@@ -564,13 +570,24 @@ def manifest_swap(committer, live: str, staged: str,
 
     man = read_file_manifest(live)
     gen = (man["generation"] + 1) if man else 1
-    files = [f for f in data_files(staged)]
+    staged_files = [f for f in data_files(staged)]
     if stats is None:
-        stats = collect_file_stats(staged, files)
+        stats = collect_file_stats(staged, staged_files)
+    files = list(staged_files)
     retired: list[dict] = []
-    if retain_previous and man is not None:
+    if keep_prev_files and man is not None:
+        # consolidating APPEND: the previous generation's files stay
+        # live and re-listed (immutable, never re-copied); their stats
+        # carry over from the old manifest
+        prev = [f for f in man["files"] if f not in set(staged_files)]
+        files = prev + staged_files
+        old_stats = man.get("stats") or {}
+        stats = {**{f: old_stats[f] for f in prev if f in old_stats},
+                 **stats}
         retired = list(man.get("retired", []))
-        prev = [f for f in man["files"] if f not in set(files)]
+    elif retain_previous and man is not None:
+        retired = list(man.get("retired", []))
+        prev = [f for f in man["files"] if f not in set(staged_files)]
         if prev:
             retired.append({
                 "generation": man["generation"],
@@ -580,9 +597,41 @@ def manifest_swap(committer, live: str, staged: str,
     committer.put_file(
         os.path.join(staged, PUBLISH_MARKER),
         json.dumps({"generation": gen, "files": files,
+                    "publish": staged_files,
                     "stats": stats, "retired": retired}).encode(),
     )
     _publish_from_marker(committer, staged, live, vacuum=vacuum)
+
+
+# ---------------------------------------------------------------------------
+# Table-level manifest (cross-batch consolidation pointer)
+# ---------------------------------------------------------------------------
+#
+# ``_TABLE.json`` at the routed root records which batch ids have been
+# consolidated into the ``_consolidated`` generation (maintenance.
+# compact_table).  It is the table-level commit point: readers that see
+# it scan the consolidated files for those ids (batch_id preserved as a
+# data column, so as-of filters prune by parquet row-group stats) and
+# the per-batch dirs only for ids not yet consolidated.  Superseded
+# per-batch dirs are listed in ``pending_dirs`` until the retention
+# window reaps them — a crash between the pointer put and the dir
+# removal only leaves retention copies that readers already exclude.
+
+TABLE_MANIFEST = "_TABLE.json"
+CONSOLIDATED_DIR = "_consolidated"
+
+
+def read_table_manifest(root: str) -> dict | None:
+    try:
+        with open(os.path.join(root, TABLE_MANIFEST)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def write_table_manifest(committer, root: str, doc: dict) -> None:
+    committer.put_file(os.path.join(root, TABLE_MANIFEST),
+                       json.dumps(doc).encode())
 
 
 COMMITTERS = {"rename": RenameCommitter, "put": PutCommitter}

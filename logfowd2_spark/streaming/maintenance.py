@@ -45,14 +45,59 @@ def resolve_batch_paths(root: str, batch_id: str) -> list[str]:
     return [d] if os.path.isdir(d) else []
 
 
+def table_scan(spark: SparkSession, cfg: PipelineConfig,
+               ids: list[str]) -> DataFrame:
+    """Scan exactly the batches in ``ids``, resolving each through the
+    table's metadata layers: ids consolidated by ``compact_table`` come
+    from the ``_consolidated`` generation (batch_id preserved as a DATA
+    column — the as-of filter is an ``IN`` predicate parquet row-group
+    stats prune on), the rest from their per-batch dirs via the
+    ``_FILES.json`` pointers.  A consolidated id's leftover per-batch
+    dir (a retention copy awaiting expiry) is never read — the id set
+    partitions exactly."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, read_file_manifest, read_table_manifest,
+    )
+
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    cons_ids = set(tman["consolidated_ids"]) if tman else set()
+    want_cons = [b for b in ids if b in cons_ids]
+    want_dirs = [b for b in ids if b not in cons_ids]
+    parts: list[DataFrame] = []
+    if want_cons:
+        live = os.path.join(root, CONSOLIDATED_DIR)
+        man = read_file_manifest(live)
+        paths = [os.path.join(live, rel) for rel in man["files"]]
+        df = spark.read.option("basePath", live).parquet(*paths)
+        if set(want_cons) != cons_ids:
+            df = df.filter(F.col("batch_id").isin(want_cons))
+        parts.append(df)
+    dir_paths = [p for b in want_dirs for p in resolve_batch_paths(root, b)]
+    if dir_paths:
+        parts.append(spark.read.option("basePath", root).parquet(*dir_paths))
+    if not parts:
+        return spark.read.option("basePath", root).parquet(root)
+    out = parts[0]
+    for p in parts[1:]:
+        # consolidated files carry batch_id as a data column while
+        # per-batch scans recover it from the path — same names, so
+        # unionByName aligns the two shapes
+        out = out.unionByName(p)
+    return out
+
+
 def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
                       batch_id: str) -> DataFrame:
-    """The routed table as of (and including) ``batch_id`` — only batch
-    dirs committed up to that point are scanned (partition pruning by
-    construction: later data is never listed, let alone read), and each
-    batch's file list comes from its manifest pointer, so an in-place
-    compaction racing this reader is invisible (old-or-new generation,
-    never a mix).
+    """The routed table as of (and including) ``batch_id`` — only
+    batches committed up to that point are scanned (partition pruning by
+    construction: later data is never listed, let alone read), each
+    resolved through the manifest layers (``table_scan``), so an
+    in-place compaction racing this reader is invisible (old-or-new
+    generation, never a mix) and a batch id already consolidated
+    cross-batch still answers exactly.
 
     Heals interrupted compactions first: after a mid-compaction crash
     the batch's live dir may not be fully published yet — without
@@ -61,10 +106,7 @@ def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
     ids = committed_batch_ids(cfg)
     if batch_id not in ids:
         raise ValueError(f"batch {batch_id!r} is not committed")
-    upto = ids[: ids.index(batch_id) + 1]
-    root = os.path.join(cfg.output_path, "routed")
-    paths = [p for b in upto for p in resolve_batch_paths(root, b)]
-    return spark.read.option("basePath", root).parquet(*paths)
+    return table_scan(spark, cfg, ids[: ids.index(batch_id) + 1])
 
 
 from logfowd2_spark.ioutil import tree_num_files as _tree_num_files  # noqa: E402
@@ -87,11 +129,13 @@ def vacuum_expired_table(cfg: PipelineConfig,
                          now: float | None = None) -> dict[str, list[str]]:
     """Snapshot-expiry maintenance over the whole routed table: run
     ``vacuum_expired`` (commit.py) on every batch dir, reaping retired
-    generations older than ``cfg.vacuum_retention_s``.  Metadata-only —
-    manifest reads plus deletes of expired files; no Spark job.  Returns
-    {batch_dir_name: removed_files} for the dirs that changed."""
+    generations older than ``cfg.vacuum_retention_s``, then reap
+    per-batch dirs a table consolidation superseded past the same
+    window.  Metadata-only — manifest reads plus deletes of expired
+    files; no Spark job.  Returns {batch_dir_name: removed_files} for
+    the dirs that changed."""
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        get_committer, vacuum_expired,
+        CONSOLIDATED_DIR, get_committer, vacuum_expired,
     )
 
     committer = get_committer(cfg.commit_protocol)
@@ -106,6 +150,16 @@ def vacuum_expired_table(cfg: PipelineConfig,
                                  cfg.vacuum_retention_s, now=now)
         if removed:
             out[name] = removed
+    # the consolidated generation itself also retires old generations
+    cons = os.path.join(root, CONSOLIDATED_DIR)
+    if os.path.isdir(cons):
+        removed = vacuum_expired(committer, cons, cfg.vacuum_retention_s,
+                                 now=now)
+        if removed:
+            out[CONSOLIDATED_DIR] = removed
+    reaped = _reap_pending_dirs(cfg, now=now)
+    if reaped:
+        out["pending_batch_dirs"] = reaped
     return out
 
 
@@ -122,10 +176,27 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    from logfowd2_spark.streaming.commit import read_table_manifest  # noqa: PLC0415
+
     root = os.path.join(cfg.output_path, "routed")
     batch_dir = os.path.join(root, f"batch_id={batch_id}")
-    paths = resolve_batch_paths(root, batch_id) or [batch_dir]
-    df = spark.read.option("basePath", batch_dir).parquet(*paths)
+    tman = read_table_manifest(root)
+    if tman is not None and batch_id in tman["consolidated_ids"]:
+        # the batch lives in the consolidated generation now — scan it
+        # through the table layer (IN-filter on the batch_id column) and
+        # count from the checkpoint manifest's committed sink counts
+        df = table_scan(spark, cfg, [batch_id])
+        rec = load_manifest(
+            os.path.join(cfg.checkpoint_path, "manifest.json")
+        ).batches.get(batch_id)
+        # rec is always present for a consolidated id (consolidation
+        # takes ids FROM the checkpoint manifest); df.count() is the
+        # defensive fallback for a hand-edited checkpoint
+        n_rows = sum(rec.sink_counts.values()) if rec else df.count()
+    else:
+        paths = resolve_batch_paths(root, batch_id) or [batch_dir]
+        df = spark.read.option("basePath", batch_dir).parquet(*paths)
+        n_rows = None
     action = F.concat(
         F.lit('{"index":{"_index":"'),
         F.col("sink_id"), F.lit("-"),
@@ -149,7 +220,10 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
     # events exported == batch rows, counted over the SAME resolved
     # file set the export read (a directory walk would double-count in
     # the unrecovered window of an interrupted generation swap); a
-    # manifest-bearing dir answers from its commit-time stats
+    # manifest-bearing dir answers from its commit-time stats, a
+    # consolidated batch from its checkpoint-manifest sink counts
+    if n_rows is not None:
+        return n_rows
     from logfowd2_spark.streaming.commit import manifest_rows  # noqa: PLC0415
 
     if paths == [batch_dir]:
@@ -236,4 +310,135 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),
         "rows": rows_after,
+    }
+
+
+def _reap_pending_dirs(cfg: PipelineConfig, now: float | None = None) -> list[str]:
+    """Remove per-batch dirs superseded by a table consolidation once
+    their retention window has passed (``pending`` entries in
+    ``_TABLE.json``).  The dirs are retention copies readers already
+    exclude, so removal is pure space reclamation — idempotent and
+    crash-safe (a stale pending entry just retries here)."""
+    import time as _time
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, read_table_manifest, write_table_manifest,
+    )
+
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    if tman is None or not tman.get("pending"):
+        return []
+    now = _time.time() if now is None else now
+    remaining, removed = [], []
+    for ent in tman["pending"]:
+        if now - ent["superseded_at"] >= cfg.vacuum_retention_s:
+            shutil.rmtree(os.path.join(root, f"batch_id={ent['batch_id']}"),
+                          ignore_errors=True)
+            removed.append(ent["batch_id"])
+        else:
+            remaining.append(ent)
+    if removed:
+        write_table_manifest(
+            get_committer(cfg.commit_protocol), root,
+            {**tman, "pending": remaining},
+        )
+    return removed
+
+
+def compact_table(spark: SparkSession, cfg: PipelineConfig,
+                  target_records_per_file: int = 1_000_000,
+                  upto_batch_id: str | None = None) -> dict:
+    """CROSS-BATCH compaction: bin-pack the not-yet-consolidated batch
+    dirs into the table's ``_consolidated`` generation under a single
+    manifest flip.  ``compact_batch`` fixes small files WITHIN one
+    batch; at 10⁵ committed micro-batches the small-file pressure is
+    across batch dirs — 10⁵ directory listings and manifest reads per
+    table scan — and this pass collapses them into target-sized files
+    partitioned by (sink_id, log_date) with ``batch_id`` preserved as a
+    DATA column, so ``read_routed_as_of`` on any pre-consolidation
+    batch id stays exact (an ``IN`` filter pruned by parquet row-group
+    statistics — the lakehouse snapshot-filter shape, vs. Iceberg
+    carrying the same mapping in manifest partition summaries).
+
+    Commit sequence, each step atomic or replayable:
+
+    1. stage the consolidated rewrite (``_stage__consolidated``);
+    2. ``manifest_swap`` with ``keep_prev_files``: earlier consolidated
+       generations' files stay listed; crash → ``recover()`` replays;
+    3. put ``_TABLE.json`` recording the newly consolidated ids — THE
+       table-level commit point readers switch on;
+    4. superseded per-batch dirs become ``pending`` retention copies,
+       reaped by ``_reap_pending_dirs`` after ``vacuum_retention_s``
+       (immediately when 0).  A crash between 3 and 4 leaves only
+       excluded copies.
+
+    Row safety: the rewrite is footer-verified against the per-batch
+    manifests' commit-time stats before the flip.  Returns
+    {consolidated_ids, rows, files_before, files_after}."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, collect_file_stats, data_files, get_committer,
+        manifest_swap, read_table_manifest, stage_path,
+        write_table_manifest,
+    )
+
+    import time as _time
+
+    committer = get_committer(cfg.commit_protocol)
+    recover_compactions(cfg)
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root) or {
+        "version": 1, "consolidated_ids": [], "pending": [],
+    }
+    ids = committed_batch_ids(cfg)
+    if upto_batch_id is not None:
+        if upto_batch_id not in ids:
+            raise ValueError(f"batch {upto_batch_id!r} is not committed")
+        ids = ids[: ids.index(upto_batch_id) + 1]
+    new_ids = [b for b in ids if b not in set(tman["consolidated_ids"])]
+    if not new_ids:
+        return {"consolidated_ids": [], "rows": 0,
+                "files_before": 0, "files_after": 0}
+
+    live = os.path.join(root, CONSOLIDATED_DIR)
+    stage = stage_path(live)
+    shutil.rmtree(stage, ignore_errors=True)
+    src_paths = [p for b in new_ids for p in resolve_batch_paths(root, b)]
+    files_before = len(src_paths)
+    # rows_before from the per-batch manifests' commit-time stats —
+    # zero footer opens on the source side
+    rows_before = sum(
+        _tree_num_rows(os.path.join(root, f"batch_id={b}")) for b in new_ids
+    )
+    df = spark.read.option("basePath", root).parquet(*src_paths)
+    (
+        df.hint("rebalance", "sink_id")
+        .write.mode("overwrite")
+        .partitionBy("sink_id", "log_date")
+        .option("maxRecordsPerFile", str(target_records_per_file))
+        .parquet(stage)
+    )
+    new_files = data_files(stage)
+    new_stats = collect_file_stats(stage, new_files)
+    rows_after = sum(s["rows"] for s in new_stats.values())
+    if rows_before != rows_after:  # never flip a lossy rewrite
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"table compaction row mismatch: {rows_before} -> {rows_after}"
+        )
+    manifest_swap(committer, live, stage, stats=new_stats,
+                  keep_prev_files=True)
+    now = _time.time()
+    write_table_manifest(committer, root, {
+        "version": 1,
+        "consolidated_ids": tman["consolidated_ids"] + new_ids,
+        "pending": tman.get("pending", [])
+        + [{"batch_id": b, "superseded_at": now} for b in new_ids],
+    })
+    _reap_pending_dirs(cfg)  # immediate when vacuum_retention_s == 0
+    return {
+        "consolidated_ids": new_ids,
+        "rows": rows_after,
+        "files_before": files_before,
+        "files_after": len(new_files),
     }

@@ -508,14 +508,24 @@ def read_routed(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     root = os.path.join(cfg.output_path, "routed")
     if not os.path.isdir(root):
         return spark.read.option("basePath", root).parquet(root)
-    from logfowd2_spark.streaming.maintenance import resolve_batch_paths  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import read_table_manifest  # noqa: PLC0415
+    from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
+        resolve_batch_paths, table_scan,
+    )
 
-    paths = [
-        p
+    tman = read_table_manifest(root)
+    dir_ids = [
+        name.split("=", 1)[1]
         for name in sorted(os.listdir(root))
         if name.startswith("batch_id=")
-        for p in resolve_batch_paths(root, name.split("=", 1)[1])
     ]
+    if tman is not None:
+        # consolidation-aware: consolidated ids scan the _consolidated
+        # generation; leftover per-batch dirs of those ids are retention
+        # copies table_scan excludes by id
+        ids = sorted(set(tman["consolidated_ids"]) | set(dir_ids))
+        return table_scan(spark, cfg, ids)
+    paths = [p for b in dir_ids for p in resolve_batch_paths(root, b)]
     if not paths:
         return spark.read.option("basePath", root).parquet(root)
     return spark.read.option("basePath", root).parquet(*paths)

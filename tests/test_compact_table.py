@@ -1,0 +1,186 @@
+"""Cross-batch table compaction (``compact_table``): many small batch
+dirs bin-packed into the ``_consolidated`` generation under one manifest
+flip + an atomic ``_TABLE.json`` pointer, with batch_id preserved as a
+data column so as-of reads on pre-consolidation batch ids stay exact.
+Covers: row equality, as-of correctness, incremental (second) runs,
+reader isolation across the flip, crash replay of the staged swap, and
+retention-deferred removal of the superseded batch dirs."""
+
+import json
+import os
+
+import pytest
+
+from logfowd2_spark import synth
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.streaming.commit import (
+    CONSOLIDATED_DIR,
+    PUBLISH_MARKER,
+    get_committer,
+    read_file_manifest,
+    read_table_manifest,
+    stage_path,
+)
+from logfowd2_spark.streaming.maintenance import (
+    committed_batch_ids,
+    compact_table,
+    read_routed_as_of,
+    vacuum_expired_table,
+)
+from logfowd2_spark.streaming.pipeline import read_routed, run_pipeline
+
+
+def _norm(pdf):
+    pdf = pdf.copy()
+    pdf["ts"] = pdf["ts"].astype(str)
+    pdf["log_date"] = pdf["log_date"].astype(str)
+    return (pdf.sort_values(["doc_id"])
+            .reindex(sorted(pdf.columns), axis=1)
+            .reset_index(drop=True))
+
+
+@pytest.fixture(scope="module", params=["rename", "put"])
+def ran(request, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"ctab-{request.param}")
+    paths = synth.write_dataset(str(d / "in"), n_rows=900, seed=21, n_files=3)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        max_line_size=256,
+        bulk_size=30,  # many small files per batch
+        commit_protocol=request.param,
+    )
+    # two batches now; the third committed later for the incremental run
+    metrics = run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                           files_per_batch=1, max_batches=2)
+    return d, paths, cfg, metrics
+
+
+def test_compact_table_roundtrip_and_as_of(spark, ran):
+    d, paths, cfg, metrics = ran
+    ids = committed_batch_ids(cfg)[:2]
+    before_all = _norm(read_routed(spark, cfg).toPandas())
+    before_b0 = _norm(read_routed_as_of(spark, cfg, ids[0]).toPandas())
+
+    res = compact_table(spark, cfg, target_records_per_file=100_000)
+    assert res["consolidated_ids"] == ids
+    assert res["rows"] == len(before_all)
+    assert res["files_after"] < res["files_before"]
+
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    assert tman["consolidated_ids"] == ids
+    # retention 0 → superseded per-batch dirs reaped immediately
+    assert tman["pending"] == []
+    for b in ids:
+        assert not os.path.isdir(os.path.join(root, f"batch_id={b}"))
+
+    # full read and as-of on a PRE-consolidation batch id are unchanged
+    after_all = _norm(read_routed(spark, cfg).toPandas())
+    assert after_all.equals(before_all)
+    after_b0 = _norm(read_routed_as_of(spark, cfg, ids[0]).toPandas())
+    assert after_b0.equals(before_b0)
+
+
+def test_incremental_consolidation_appends(spark, ran):
+    """A batch committed after a consolidation is folded in by the next
+    compact_table run; earlier consolidated files are re-listed, not
+    rewritten."""
+    d, paths, cfg, _ = ran
+    root = os.path.join(cfg.output_path, "routed")
+    live = os.path.join(root, CONSOLIDATED_DIR)
+    gen1_files = set(read_file_manifest(live)["files"])
+
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)  # commits the remaining batch
+    ids = committed_batch_ids(cfg)
+    assert len(ids) == 3
+    before = _norm(read_routed(spark, cfg).toPandas())
+
+    res = compact_table(spark, cfg, target_records_per_file=100_000)
+    assert res["consolidated_ids"] == [ids[2]]
+    man = read_file_manifest(live)
+    # previous generation's files re-listed untouched, new ones appended
+    assert gen1_files <= set(man["files"])
+    assert len(man["files"]) > len(gen1_files)
+    assert read_table_manifest(root)["consolidated_ids"] == ids
+
+    after = _norm(read_routed(spark, cfg).toPandas())
+    assert after.equals(before)
+    # as-of a mid-table id: exactly batches 0-1
+    mid = _norm(read_routed_as_of(spark, cfg, ids[1]).toPandas())
+    assert set(mid["batch_id"].unique()) == set(ids[:2])
+    assert len(mid) + (after["batch_id"] == ids[2]).sum() == len(after)
+
+    # noop when everything is consolidated
+    assert compact_table(spark, cfg)["consolidated_ids"] == []
+
+
+def test_crash_before_table_pointer_is_replayable(spark, ran):
+    """Crash after the consolidation stage reached commit-ready but
+    before the _TABLE.json pointer: readers still see the per-batch
+    view; recover() completes the file swap; re-running compact_table
+    converges."""
+    d, paths, cfg, _ = ran
+    root = os.path.join(cfg.output_path, "routed")
+    live = os.path.join(root, CONSOLIDATED_DIR)
+    committer = get_committer(cfg.commit_protocol)
+    before = _norm(read_routed(spark, cfg).toPandas())
+
+    # simulate: stage a fake extra generation with a publish marker but
+    # no flipped pointer (as if compact_table died between swap stages)
+    staged = stage_path(live)
+    os.makedirs(staged, exist_ok=True)
+    man = read_file_manifest(live)
+    committer.put_file(
+        os.path.join(staged, PUBLISH_MARKER),
+        json.dumps({"generation": man["generation"] + 1,
+                    "files": man["files"], "publish": [],
+                    "stats": man.get("stats", {})}).encode(),
+    )
+    healed = committer.recover(root)
+    assert healed == [live]
+    assert not os.path.isdir(staged)
+    assert read_file_manifest(live)["generation"] == man["generation"] + 1
+    after = _norm(read_routed(spark, cfg).toPandas())
+    assert after.equals(before)
+
+
+def test_retention_defers_batch_dir_removal(spark, tmp_path_factory):
+    """With vacuum_retention_s > 0 the superseded per-batch dirs stay on
+    disk (retention copies readers exclude) until the expiry sweep."""
+    d = tmp_path_factory.mktemp("ctab-ret")
+    paths = synth.write_dataset(str(d / "in"), n_rows=400, seed=23, n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        max_line_size=256,
+        bulk_size=30,
+        vacuum_retention_s=3600.0,
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    ids = committed_batch_ids(cfg)
+    before = _norm(read_routed(spark, cfg).toPandas())
+
+    compact_table(spark, cfg)
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    assert [e["batch_id"] for e in tman["pending"]] == ids
+    for b in ids:  # retention copies still on disk...
+        assert os.path.isdir(os.path.join(root, f"batch_id={b}"))
+    # ...but excluded from reads (no double counting)
+    assert _norm(read_routed(spark, cfg).toPandas()).equals(before)
+
+    t0 = tman["pending"][0]["superseded_at"]
+    # before the window: nothing reaped
+    assert vacuum_expired_table(cfg, now=t0 + 10) == {}
+    # past the window: dirs reaped, pending cleared, reads unchanged
+    out = vacuum_expired_table(cfg, now=t0 + 3601)
+    assert out.get("pending_batch_dirs") == ids
+    assert read_table_manifest(root)["pending"] == []
+    for b in ids:
+        assert not os.path.isdir(os.path.join(root, f"batch_id={b}"))
+    assert _norm(read_routed(spark, cfg).toPandas()).equals(before)
