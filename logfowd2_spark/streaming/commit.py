@@ -386,7 +386,8 @@ def read_file_manifest(live: str) -> dict | None:
 def write_file_manifest(committer, live: str, files: list[str],
                         generation: int = 0,
                         stats: dict[str, dict] | None = None,
-                        retired: list[dict] | None = None) -> None:
+                        retired: list[dict] | None = None,
+                        extra: dict | None = None) -> None:
     """Atomically (re)publish ``live``'s manifest — the commit point of
     every generation flip.  ``stats`` (per-file ``{"rows": n, "bytes":
     b}``, keyed by relative path) is the manifest-carried metadata that
@@ -400,6 +401,10 @@ def write_file_manifest(committer, live: str, files: list[str],
         doc["stats"] = stats
     if retired:
         doc["retired"] = retired
+    if extra:
+        # table-specific metadata riding the manifest (e.g. the DLQ
+        # generation's resolved codec — dlq.py's redrive n_tok contract)
+        doc.update(extra)
     committer.put_file(
         os.path.join(live, FILE_MANIFEST), json.dumps(doc).encode(),
     )

@@ -212,14 +212,25 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     # token:char mapping depends on which codec DECODED it: arrow is
     # byte-level (octet_length), while the jvm codec mapped each input
     # byte to one char, so bytes 0x80-0xFF became 2-byte UTF-8 chars and
-    # the token count is the CHAR count (F.length).  Resolve 'auto' the
-    # same way parse_stage does; for ASCII payloads the two agree, so an
-    # auto flip between quarantine and redrive cannot diverge there.
+    # the token count is the CHAR count (F.length).  The decoding codec
+    # is read from the consumed generations' manifests (the quarantine
+    # writer records it — pipeline.py/this pass), so a redrive in a
+    # LATER PROCESS under different load uses the formula of the run
+    # that actually quarantined the rows; only manifest-less legacy
+    # generations (or a mixed-codec quarantine, the documented
+    # pin-explicitly residual) fall back to re-resolving 'auto'.
     from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import read_file_manifest  # noqa: PLC0415
 
-    codec = resolve_codec(
-        cfg.codec, spark.sparkContext.defaultParallelism
-    )
+    recorded = {
+        (read_file_manifest(d) or {}).get("codec") for d in old_dirs
+    } - {None}
+    if len(recorded) == 1:
+        codec = recorded.pop()
+    else:
+        codec = resolve_codec(
+            cfg.codec, spark.sparkContext.defaultParallelism
+        )
     n_tok = F.length("line") if codec == "jvm" else F.octet_length("line")
     good = good.withColumn("n_tok", n_tok)
     recovered = route_stage(enrich_stage(good, pods), cfg).drop("line", "body")
@@ -261,11 +272,14 @@ def redrive_pass(spark: SparkSession, cfg: PipelineConfig,
     n_requeued = _obs_n(rq_obs)
     n_dropped = _obs_n(pf_obs)
     # the new quarantine generation carries its manifest too — the DLQ
-    # cap and the metrics gauge count it without opening footers
+    # cap and the metrics gauge count it without opening footers.  The
+    # codec is PROPAGATED (the requeued raw lines were decoded by the
+    # original run's codec, not by whatever this process resolved)
     new_files = data_files(new_dir)
     write_file_manifest(get_committer(cfg.commit_protocol), new_dir,
                         new_files, generation=0,
-                        stats=collect_file_stats(new_dir, new_files))
+                        stats=collect_file_stats(new_dir, new_files),
+                        extra={"codec": codec})
     result = {
         "recovered": n_recovered,
         "requeued": n_requeued,
@@ -484,9 +498,10 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
         # stats that still reference deleted ones
         from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
             FILE_MANIFEST, collect_file_stats, data_files, get_committer,
-            write_file_manifest,
+            read_file_manifest, write_file_manifest,
         )
 
+        old_man = read_file_manifest(d) or {}
         try:
             os.remove(os.path.join(d, FILE_MANIFEST))
         except OSError:
@@ -535,9 +550,14 @@ def enforce_dlq_cap(spark: SparkSession, dlq_path: str,
             shutil.rmtree(stage, ignore_errors=True)
             acc = overflow
         surviving = data_files(d)
+        # the rewritten manifest keeps the generation's recorded codec
+        # (the redrive n_tok contract) across the trim
+        keep_codec = old_man.get("codec")
         write_file_manifest(get_committer(cfg.commit_protocol), d,
                             surviving, generation=0,
-                            stats=collect_file_stats(d, surviving))
+                            stats=collect_file_stats(d, surviving),
+                            extra={"codec": keep_codec} if keep_codec
+                            else None)
         dropped += acc
         overflow = 0
     return dropped

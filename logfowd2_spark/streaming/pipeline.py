@@ -332,9 +332,19 @@ def execute_unified_batch(
             os.path.basename(f): stats_all[f]
             for f in files_all if f.startswith(dlq_prefix)
         }
+        from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
+
+        # record the codec that DECODED these raw lines (resolved the
+        # same way parse_stage resolves it) — a later-process redrive
+        # reads it from here instead of re-resolving 'auto' against a
+        # different loadavg (the n_tok formula depends on it)
+        used_codec = resolve_codec(
+            cfg.codec, df.sparkSession.sparkContext.defaultParallelism
+        )
         write_file_manifest(committer, dlq_batch_dir,
                             sorted(dlq_stats), generation=0,
-                            stats=dlq_stats)
+                            stats=dlq_stats,
+                            extra={"codec": used_codec})
 
     agg = _stats_from_observation(vals, sinks)
     dlq_stats_row = agg.pop(DLQ_SINK, None)

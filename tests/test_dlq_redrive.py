@@ -247,3 +247,62 @@ def test_sink_fault_transient_recovery(spark, tmp_path):
     left = {r["failure_reason"]: r["n"]
             for r in dlq_reason_stats(spark, dlq_path).collect()}
     assert "sink_unavailable" not in left
+
+
+def test_redrive_uses_recorded_codec_not_host_load(spark, tmp_path, monkeypatch):
+    """The n_tok formula for recovered rows follows the codec RECORDED
+    in the consumed quarantine generations' manifests (the codec that
+    decoded the raw lines), not a fresh 'auto' resolution against the
+    redrive-time loadavg — the cross-process divergence the round-4
+    advice flagged."""
+    from logfowd2_spark import config as config_mod
+    from logfowd2_spark.streaming.commit import read_file_manifest
+    from logfowd2_spark.streaming.dlq import redrive_pass
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=200, seed=31,
+                                n_files=1)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        codec="jvm",  # the run that quarantines decodes with jvm
+        sink_fault_sink="logs-ingress",
+        sink_fault_until_retry=1,
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"])
+    dlq_root = os.path.join(cfg.output_path, "parse_failures")
+    gen_dirs = [os.path.join(dlq_root, n) for n in os.listdir(dlq_root)
+                if n.startswith("batch_id=")]
+    assert gen_dirs
+    for d in gen_dirs:
+        assert read_file_manifest(d)["codec"] == "jvm"
+
+    # a LATER PROCESS redrives with codec='auto'; sabotage resolve_codec
+    # so a fresh resolution would pick the OTHER codec — the recorded
+    # one must still win
+    cfg2 = PipelineConfig(
+        input_path=cfg.input_path, output_path=cfg.output_path,
+        checkpoint_path=cfg.checkpoint_path, codec="auto",
+        sink_fault_sink="logs-ingress", sink_fault_until_retry=1,
+    )
+    cfg2.routes = load_routes(spark, paths["routes"])
+    pods = spark.read.parquet(paths["pods"])
+    calls = []
+
+    def fake_resolve(codec, parallelism):
+        calls.append(codec)
+        return "arrow" if codec == "auto" else codec
+
+    monkeypatch.setattr(config_mod, "resolve_codec", fake_resolve)
+    res = redrive_pass(spark, cfg2, pods, generation=0)
+    assert res["recovered"] > 0
+    # the recovered batch's n_tok matches the jvm formula (= the healthy
+    # no-fault run's answer); with ASCII synth data both formulas agree
+    # numerically, so assert the DECISION instead: the recorded codec
+    # was used and 'auto' was never re-resolved for the formula
+    assert "auto" not in calls
+    # the propagated codec survives into the new quarantine generation
+    new_gens = [os.path.join(dlq_root, n) for n in os.listdir(dlq_root)
+                if n.startswith("batch_id=redrive-")]
+    for d in new_gens:
+        assert read_file_manifest(d)["codec"] == "jvm"
