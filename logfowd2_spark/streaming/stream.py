@@ -42,13 +42,29 @@ def read_sequences_stream(spark: SparkSession, cfg: PipelineConfig,
 
 
 def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
-                       pods: DataFrame, available_now: bool = True):
+                       pods: DataFrame, available_now: bool = True,
+                       max_files_per_trigger: int = 4,
+                       redrive_every: int = 0,
+                       redrive_log: list | None = None,
+                       gauges=None):
     """Start the stream: each micro-batch runs the SAME single-pass
     unified transform+write as batch mode (``execute_unified_batch``),
     so the streaming path shares batch mode's output layout exactly —
     including the ``parse_failures/batch_id=...`` quarantine partitioning
     that the redrive pass consumes (one DLQ layout across modes) and the
-    per-batch sink_stats table.  Returns the StreamingQuery."""
+    per-batch sink_stats table.  Returns the StreamingQuery.
+
+    ``redrive_every=N`` wires the DLQ retry SCHEDULER into the stream:
+    after every N committed micro-batches a redrive generation runs
+    BETWEEN triggers (driver-side in ``foreachBatch``, exactly where the
+    reference's retry task interleaves with its send loop,
+    pool.rs:358-470).  Wall-clock backoff makes no sense inside a
+    trigger cadence, so the backoff unit is micro-batches: a generation
+    that recovers nothing while rows remain doubles the wait to the
+    next attempt (N·2^streak batches, streak via ``RuntimeGauges`` —
+    the same counter that widens the adaptive timeout), and any
+    recovery resets it.  Each attempt is appended to ``redrive_log``
+    (generation, at_batch, result) for observability."""
     from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
     from logfowd2_spark.streaming.pipeline import execute_unified_batch  # noqa: PLC0415
 
@@ -56,10 +72,52 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
     # semantically on non-ASCII bytes — never flip mid-stream)
     cfg.codec = resolve_codec(cfg.codec,
                               spark.sparkContext.defaultParallelism)
-    stream = read_sequences_stream(spark, cfg)
+    stream = read_sequences_stream(
+        spark, cfg, max_files_per_trigger=max_files_per_trigger
+    )
+    if redrive_every:
+        from logfowd2_spark.streaming.metrics import RuntimeGauges  # noqa: PLC0415
+
+        gauges = gauges if gauges is not None else RuntimeGauges()
+    state = {"batches": 0, "next_at": redrive_every}
+
+    def _maybe_redrive() -> None:
+        import os  # noqa: PLC0415
+        import time  # noqa: PLC0415
+
+        from logfowd2_spark.streaming.dlq import (  # noqa: PLC0415
+            next_redrive_generation,
+            redrive_candidates,
+            redrive_pass,
+        )
+
+        if not redrive_every or state["batches"] < state["next_at"]:
+            return
+        dlq_path = os.path.join(cfg.output_path, "parse_failures")
+        if redrive_candidates(spark, dlq_path, cfg).limit(1).count() == 0:
+            state["next_at"] = state["batches"] + redrive_every
+            return
+        gen = next_redrive_generation(dlq_path)
+        t0 = time.perf_counter()
+        result = redrive_pass(spark, cfg, pods, generation=gen)
+        gauges.observe((time.perf_counter() - t0) * 1000.0,
+                       failed=result["recovered"] == 0
+                       and result["requeued"] > 0)
+        # backoff in micro-batches: N·2^(streak-1) after a failure,
+        # straight N after progress (same schedule shape as redrive_loop)
+        step = redrive_every * (
+            2 ** max(0, gauges.consecutive_failures - 1)
+            if gauges.consecutive_failures else 1
+        )
+        state["next_at"] = state["batches"] + step
+        if redrive_log is not None:
+            redrive_log.append({"generation": gen,
+                                "at_batch": state["batches"], **result})
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         execute_unified_batch(batch_df, pods, cfg, f"stream-{batch_id:05d}")
+        state["batches"] += 1
+        _maybe_redrive()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -105,3 +105,70 @@ def test_windowed_event_time_counts(spark, dataset):
         ).agg(F.count("*").alias("event_count")).collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_streaming_redrive_recovers_transient_sink(spark, tmp_path):
+    """The streaming edition of the pipe_transient_redrive invariant:
+    a sink that rejects until retry attempt 2 quarantines its rows in
+    the stream's micro-batches, the redrive scheduler wired into
+    foreachBatch recovers them BETWEEN triggers, and the final routed
+    table equals the healthy-sink batch run — same per-sink counts,
+    same doc_ids, nothing lost or duplicated."""
+    from logfowd2_spark.streaming.dlq import redrive_candidates, redrive_pass
+    from logfowd2_spark.streaming.pipeline import load_routes, run_pipeline
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=600, seed=17,
+                                n_files=6)
+    pods = spark.read.parquet(paths["pods"])
+
+    # healthy-sink batch reference
+    bcfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "healthy-out"),
+        checkpoint_path=str(tmp_path / "healthy-ckpt"),
+    )
+    run_pipeline(spark, bcfg, paths["pods"], paths["routes"])
+    healthy = spark.read.parquet(str(tmp_path / "healthy-out" / "routed"))
+
+    # faulted stream: logs-ingress rejects attempts 0 and 1; redrive
+    # after every micro-batch (6 files / 2 per trigger = 3 batches)
+    scfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "stream-out"),
+        checkpoint_path=str(tmp_path / "stream-ckpt"),
+        sink_fault_sink="logs-ingress",
+        sink_fault_until_retry=2,
+    )
+    scfg.routes = load_routes(spark, paths["routes"])
+    log: list = []
+    q = streaming_pipeline(spark, scfg, pods, max_files_per_trigger=2,
+                           redrive_every=1, redrive_log=log)
+    q.awaitTermination(180)
+
+    # redrives genuinely ran BETWEEN micro-batches, not only at the end
+    assert len(log) >= 2
+    assert max(e["at_batch"] for e in log) >= 2
+    assert sum(e["recovered"] for e in log) > 0
+
+    # drain the tail quarantined by the last micro-batch (the stream
+    # ended before its scheduler slot) with the same pass the scheduler
+    # runs; attempt numbers continue, so the sink has recovered
+    dlq_path = os.path.join(scfg.output_path, "parse_failures")
+    from logfowd2_spark.streaming.dlq import next_redrive_generation
+
+    for _ in range(3):
+        if redrive_candidates(spark, dlq_path, scfg).limit(1).count() == 0:
+            break
+        redrive_pass(spark, scfg, pods,
+                     generation=next_redrive_generation(dlq_path))
+
+    routed = spark.read.parquet(str(tmp_path / "stream-out" / "routed"))
+    got = {r["sink_id"]: r["n"] for r in
+           routed.groupBy("sink_id").count()
+           .withColumnRenamed("count", "n").collect()}
+    want = {r["sink_id"]: r["n"] for r in
+            healthy.groupBy("sink_id").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got == want
+    assert (sorted(r["doc_id"] for r in routed.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in healthy.select("doc_id").collect()))
