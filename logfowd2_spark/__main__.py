@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="backoff base seconds (dead_letter_queue.rs:31-40)")
     ap.add_argument("--redrive-max-delay", type=float, default=300.0,
                     help="backoff cap seconds")
+    ap.add_argument("--dedup-store", action="store_true",
+                    help="maintain the incremental dedup store: after "
+                         "each batch commit, flag dups vs all history "
+                         "and index the batch (streaming/dedup_store.py)")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig.load(args.config)
@@ -44,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg.output_path = args.output
     if args.checkpoint:
         cfg.checkpoint_path = args.checkpoint
+    if args.dedup_store:
+        cfg.dedup_store_enabled = True
     if not (cfg.input_path and cfg.output_path and cfg.checkpoint_path):
         ap.error("input/output/checkpoint must be set via flags or config")
     cfg.validate()
@@ -65,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
                 "failure_counts": m.failure_counts,
                 "sink_counts": m.sink_counts,
                 "conservation_ok": m.conservation_ok(),
+                **({"dedup": m.dedup} if hasattr(m, "dedup") else {}),
             }))
         if args.redrive > 0:
             from logfowd2_spark.streaming.dlq import redrive_loop

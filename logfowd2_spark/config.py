@@ -104,6 +104,17 @@ class PipelineConfig:
     sink_fault_sink: str | None = None
     sink_fault_until_retry: int = 1
 
+    # --- incremental dedup store (streaming/dedup_store.py).  When
+    # enabled, every committed batch appends its MinHash signatures +
+    # LSH band index to <output>/dedup/ and emits dup_pairs for
+    # incoming-vs-corpus hits — continuous dedup against all history
+    # with no corpus re-hash (the production flow of the LSH family the
+    # catalog proves with lsh_incremental_dups).
+    dedup_store_enabled: bool = False
+    # minimum MinHash-estimated Jaccard for a flagged pair (estimator
+    # std-dev at k=128 is <= 0.088)
+    dedup_est_threshold: float = 0.5
+
     # --- snapshot-retention window for compaction swaps (seconds).
     # 0 = vacuum the superseded generation at the flip (single-writer
     # local default, keeps exactly one generation on disk); > 0 = the
@@ -150,6 +161,8 @@ class PipelineConfig:
             raise ValueError("dlq_max_size must be > 0")
         if self.vacuum_retention_s < 0:
             raise ValueError("vacuum_retention_s must be >= 0")
+        if not 0.0 < self.dedup_est_threshold <= 1.0:
+            raise ValueError("dedup_est_threshold must be in (0, 1]")
         if self.sink_fault_sink is not None and self.sink_fault_until_retry < 1:
             raise ValueError("sink_fault_until_retry must be >= 1 when "
                              "sink_fault_sink is set")

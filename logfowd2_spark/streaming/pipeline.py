@@ -499,6 +499,18 @@ def run_pipeline(
         )
         save_manifest(man, manifest_path)  # commit point
         results.append(m)
+        if cfg.dedup_store_enabled:
+            # maintenance stage: dedup this batch against ALL committed
+            # history via the signature store (no corpus re-hash), then
+            # index it for future batches (streaming/dedup_store.py)
+            from logfowd2_spark.streaming.dedup_store import (  # noqa: PLC0415
+                update_dedup_store,
+            )
+
+            m.dedup = update_dedup_store(
+                spark, cfg, batch_id,
+                spark.read.parquet(*chunk).select("doc_id", "tokens"),
+            )
         # per-batch metrics exposition (reference metrics/server.rs:185
         # scrape endpoint → atomic textfile publish; A4/A6 families)
         emit_metrics(cfg.output_path, results, gauges,
