@@ -1089,6 +1089,51 @@ IVF_CENTROIDS = 16
 IVF_PROBES = 2
 
 
+def fit_ivf_centroids(base: DataFrame, k: int = IVF_CENTROIDS,
+                      iters: int = 4,
+                      sample_cap: int = 4096) -> list[list[float]]:
+    """FITTED IVF codebook: spherical k-means (Lloyd) on a
+    deterministic hash-gate sample — the real-corpus upgrade of the
+    first-k-vectors codebook (``ann_ivf_topk`` keeps that closed-form
+    rule deliberately: its DuckDB oracle expresses the same assignment
+    in SQL, which a fitted codebook cannot).
+
+    Reproducibility is by construction, not by seed: the sample is the
+    md5-gated ~25% of vec_ids (the same gate family as
+    ``stratified_sample`` — row-exact across engines, partitionings and
+    reruns), capped at ``sample_cap`` in vec_id order; init is the first
+    k sampled vectors; numpy's argmax/mean are deterministic.  The
+    driver collect is BOUNDED (sample_cap × dim doubles ≈ 2 MB at
+    dim=64) regardless of corpus size — at 100 TB the fit still touches
+    only the gated sample, and the k×dim codebook broadcasts as literal
+    expressions exactly like before.  Assignment by max cosine on
+    L2-normalized vectors = spherical k-means; empty clusters keep
+    their previous centroid (deterministic, no re-seeding)."""
+    import numpy as np  # noqa: PLC0415
+
+    sample = (
+        base.where(F.expr(
+            "conv(substr(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10) % 4 = 0"
+        ))
+        .orderBy("vec_id").limit(sample_cap).collect()
+    )
+    X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in sample])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    if len(Xn) < k:  # degenerate tiny corpus: wrap the sample
+        Xn = np.tile(Xn, (int(np.ceil(k / len(Xn))), 1))
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = float(np.linalg.norm(m))
+                if n > 0.0:
+                    C[j] = m / n
+    return [c.tolist() for c in C]
+
+
 @register("embedding_cosine_dups", _COS_DUP_ORACLE)
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs ≥ 0.9, computed the 100 TB
@@ -1097,13 +1142,15 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verify — no all-pairs theta-join anywhere (the round-1
     version was O(n²) and self-limited to 200 vectors).
 
-    The 16-'centroid' codebook (the first 16 base vectors, standing in
-    for a sampled k-means fit) is collected once and folded into literal
-    expressions — the Spark analogue of broadcasting a codebook — so
-    centroid assignment is a pure projection, not a join.  The ORACLE is
-    the brute-force all-pairs scan, so the correctness gate proves the
-    bucketed path loses no recall on this corpus (scaled copies share
-    their base's nearest centroid by construction).
+    The 16-centroid codebook is FITTED by sampled spherical k-means
+    (``fit_ivf_centroids``: deterministic hash-gate sample, bounded
+    driver collect, Lloyd iterations in numpy) and folded into literal
+    expressions — the Spark analogue of fitting on a sample and
+    broadcasting the codebook — so centroid assignment is a pure
+    projection, not a join.  The ORACLE is the brute-force all-pairs
+    scan, so the correctness gate proves the fitted codebook loses no
+    recall on this corpus (scaled copies share their base's probe
+    buckets by construction).
 
     The verify stage is PER-BUCKET BLOCKWISE BLAS (round-4 rework,
     measured 6.2 s → 0.9 s steady-state at sf0.1): each IVF bucket's
@@ -1141,11 +1188,14 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = base.unionByName(planted)
 
-    # codebook: tiny, collected once, folded into literals (≈ broadcast)
-    cents = (
-        base.filter(F.col("vec_id") < IVF_CENTROIDS)
-        .orderBy("vec_id").collect()
-    )
+    # codebook: FITTED by sampled spherical k-means (fit_ivf_centroids
+    # — deterministic hash-gate sample, bounded driver collect), then
+    # folded into literal expressions (≈ broadcast).  The brute-force
+    # oracle is codebook-independent, so the gate proves the fitted
+    # codebook loses no recall: a planted copy (e·1.001) has identical
+    # cosine to every centroid as its base, hence identical probe
+    # buckets (ties broken by centroid index).
+    cents = fit_ivf_centroids(base)
 
     def lit_vec(values):
         return F.array(*[F.lit(float(x)) for x in values])
@@ -1160,9 +1210,9 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dot / (norm * F.lit(cn))
 
     ranked = F.array(*[
-        F.struct((-cos_to_centroid(r["e"])).alias("neg_sim"),
-                 F.lit(r["vec_id"]).alias("c"))
-        for r in cents
+        F.struct((-cos_to_centroid(cv)).alias("neg_sim"),
+                 F.lit(j).alias("c"))
+        for j, cv in enumerate(cents)
     ])
     probes = F.slice(F.array_sort(ranked), 1, IVF_PROBES)
     assigned = aug.select(
