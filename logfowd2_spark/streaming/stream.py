@@ -302,23 +302,15 @@ def sessionize(stream: DataFrame, key: str = "k", ts: str = "ts",
     )
 
 
-def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
-                   gap_s: int = 7200, delay: str = "1 hour",
-                   key_ddl: str = "k int") -> DataFrame:
-    """The SAME sessionizer on Spark 4's modern arbitrary-state API
-    (``transformWithStateInPandas``): typed ValueState + explicit
-    event-time TIMERS replace applyInPandasWithState's single state
-    tuple + timeout conf.  Semantics are identical to ``sessionize``
-    (a pytest asserts output equality on the same input); this variant
-    exists because transformWithState is the forward-looking state API
-    — per-key timer management (register/delete), multiple typed state
-    variables, TTL support — and the pipeline should demonstrate both
-    generations of the interface.  Requires the RocksDB state store
-    provider (the caller sets
-    ``spark.sql.streaming.stateStore.providerClass``) and a working
-    ``google.protobuf`` for Spark's driver-side streaming Python runner
-    — the comparison test skips, documented, where protobuf is absent
-    (this sandbox; no pip installs allowed)."""
+def make_session_processor(key: str = "k", ts: str = "ts",
+                           gap_s: int = 7200):
+    """The ``transformWithStateInPandas`` processor behind
+    ``sessionize_tws``, built at MODULE level so its logic is unit-
+    testable without a Spark runner: tests drive ``handleInputRows`` /
+    ``handleExpiredTimer`` directly against a fake handle (protobuf —
+    which Spark's streaming Python runner needs and this sandbox lacks —
+    is only required to RUN the stream, not to exercise the processor).
+    Only the Spark wiring below stays env-gated."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming import StatefulProcessor  # noqa: PLC0415
 
@@ -364,11 +356,34 @@ def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
         def close(self) -> None:
             pass
 
+    return SessionProcessor()
+
+
+def sessionize_tws(stream: DataFrame, key: str = "k", ts: str = "ts",
+                   gap_s: int = 7200, delay: str = "1 hour",
+                   key_ddl: str = "k int") -> DataFrame:
+    """The SAME sessionizer on Spark 4's modern arbitrary-state API
+    (``transformWithStateInPandas``): typed ValueState + explicit
+    event-time TIMERS replace applyInPandasWithState's single state
+    tuple + timeout conf.  Semantics are identical to ``sessionize``
+    (a pytest asserts output equality on the same input; the processor
+    itself is additionally unit-tested against ``_session_fold`` via
+    ``make_session_processor`` + a fake handle, so only this Spark
+    WIRING is trust-the-code where protobuf is absent); this variant
+    exists because transformWithState is the forward-looking state API
+    — per-key timer management (register/delete), multiple typed state
+    variables, TTL support — and the pipeline should demonstrate both
+    generations of the interface.  Requires the RocksDB state store
+    provider (the caller sets
+    ``spark.sql.streaming.stateStore.providerClass``) and a working
+    ``google.protobuf`` for Spark's driver-side streaming Python runner
+    — the comparison test skips, documented, where protobuf is absent
+    (this sandbox; no pip installs allowed)."""
     return (
         stream.withWatermark(ts, delay)
         .groupBy(key)
         .transformWithStateInPandas(
-            statefulProcessor=SessionProcessor(),
+            statefulProcessor=make_session_processor(key, ts, gap_s),
             outputStructType=(
                 f"{key_ddl}, session_start string, session_end string, "
                 "n_events int"
