@@ -184,3 +184,21 @@ def test_retention_defers_batch_dir_removal(spark, tmp_path_factory):
     for b in ids:
         assert not os.path.isdir(os.path.join(root, f"batch_id={b}"))
     assert _norm(read_routed(spark, cfg).toPandas()).equals(before)
+
+
+def test_as_of_filter_pushes_to_consolidated_scan(spark, ran):
+    """The as-of batch_id predicate must reach the consolidated parquet
+    scan as a pushed filter (row-group stats pruning) — the property
+    that keeps time travel cheap after cross-batch consolidation."""
+    d, paths, cfg, _ = ran
+    from logfowd2_spark.streaming.maintenance import (
+        committed_batch_ids,
+        read_routed_as_of,
+    )
+
+    compact_table(spark, cfg)  # no-op if earlier tests already ran it
+    ids = committed_batch_ids(cfg)
+    df = read_routed_as_of(spark, cfg, ids[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(batch_id,batch-00000)" in plan or "In(batch_id" in plan, \
+        "batch_id predicate not pushed to the consolidated scan"
