@@ -1117,8 +1117,14 @@ def fit_ivf_centroids(base: DataFrame, k: int = IVF_CENTROIDS,
         ))
         .orderBy("vec_id").limit(sample_cap).collect()
     )
+    if not sample:  # tiny corpus where the gate kept nothing: ungated
+        sample = base.orderBy("vec_id").limit(k).collect()
+    if not sample:  # empty corpus — callers handle the empty codebook
+        return []
     X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in sample])
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors stay zero, never NaN
+    Xn = X / norms
     if len(Xn) < k:  # degenerate tiny corpus: wrap the sample
         Xn = np.tile(Xn, (int(np.ceil(k / len(Xn))), 1))
     C = Xn[:k].copy()
@@ -1196,6 +1202,9 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine to every centroid as its base, hence identical probe
     # buckets (ties broken by centroid index).
     cents = fit_ivf_centroids(base)
+    if not cents:  # empty corpus: no pairs, stable schema
+        return spark.createDataFrame(
+            [], "a_id long, b_id long, cos_sim double")
 
     def lit_vec(values):
         return F.array(*[F.lit(float(x)) for x in values])

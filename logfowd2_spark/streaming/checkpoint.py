@@ -35,6 +35,10 @@ class BatchRecord:
     partition_metrics: list[dict[str, Any]] = field(default_factory=list)
     # per-failure-reason counts (typed error taxonomy, ≈ errors_total)
     failure_counts: dict[str, int] = field(default_factory=dict)
+    # dedup-store indexing completion record (None = not indexed yet;
+    # run_pipeline replays indexing for committed batches missing it,
+    # closing the crash window between batch commit and store append)
+    dedup: dict[str, Any] | None = None
 
 
 @dataclass
@@ -55,6 +59,8 @@ def _record_dict(rec: BatchRecord) -> dict:
     # silently discard all committed history and re-run every batch)
     if not d.get("failure_counts"):
         d.pop("failure_counts", None)
+    if d.get("dedup") is None:
+        d.pop("dedup", None)
     return d
 
 

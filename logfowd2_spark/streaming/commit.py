@@ -508,9 +508,14 @@ def vacuum_expired(committer, live: str, retention_s: float,
         else:
             remaining.append(ent)
     if len(remaining) != len(man["retired"]):
+        # preserve table-specific metadata keys (e.g. the consolidation
+        # phase-1 record) across the rewrite
+        known = {"generation", "files", "stats", "retired"}
         write_file_manifest(committer, live, man["files"],
                             man["generation"], stats=man.get("stats"),
-                            retired=remaining)
+                            retired=remaining,
+                            extra={k: v for k, v in man.items()
+                                   if k not in known})
         _prune_empty_dirs(live)
     return removed
 
@@ -536,7 +541,8 @@ def _publish_from_marker(committer, staged: str, live: str,
         committer.put_file(dst, src_path=os.path.join(staged, rel))
     write_file_manifest(committer, live, marker["files"],
                         marker["generation"], stats=marker.get("stats"),
-                        retired=marker.get("retired"))
+                        retired=marker.get("retired"),
+                        extra=marker.get("extra"))
     if vacuum:
         # retired entries are protected inside vacuum_unreferenced, so
         # this only reaps genuinely untracked debris on a retained swap
@@ -548,7 +554,8 @@ def manifest_swap(committer, live: str, staged: str,
                   vacuum: bool = True,
                   stats: dict[str, dict] | None = None,
                   retain_previous: bool = False,
-                  keep_prev_files: bool = False) -> None:
+                  keep_prev_files: bool = False,
+                  extra: dict | None = None) -> None:
     """Replace ``live``'s data with ``staged``'s via a manifest flip:
 
     1. put ``<stage>/_PUBLISH_READY`` (files + next generation) — from
@@ -603,7 +610,8 @@ def manifest_swap(committer, live: str, staged: str,
         os.path.join(staged, PUBLISH_MARKER),
         json.dumps({"generation": gen, "files": files,
                     "publish": staged_files,
-                    "stats": stats, "retired": retired}).encode(),
+                    "stats": stats, "retired": retired,
+                    "extra": extra or {}}).encode(),
     )
     _publish_from_marker(committer, staged, live, vacuum=vacuum)
 

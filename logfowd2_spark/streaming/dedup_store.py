@@ -113,15 +113,32 @@ def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
         .withColumn("pair_type", F.lit("incoming_vs_incoming"))
     )
     pairs = cand_inc
-    sig_b = new_sig
-    if os.path.isdir(paths["bands"]):
+    sig_b = new_sig.select("doc_id", "sg")
+    # "the store has corpus batches" must mean actual DATA, not just a
+    # directory husk: after this batch's own rmtree (idempotent retry)
+    # the bands root can exist empty, and spark.read on an empty dir
+    # throws schema-inference errors
+    import glob as _glob  # noqa: PLC0415
+
+    has_store = bool(_glob.glob(
+        os.path.join(paths["bands"], "**", "*.parquet"), recursive=True))
+    if has_store:
         stored_bands = spark.read.parquet(paths["bands"])
         stored_sig = spark.read.parquet(paths["signatures"])
         if exclude_batch is not None:
             keep = F.col("batch_id") != exclude_batch
             stored_bands = stored_bands.where(keep)
             stored_sig = stored_sig.where(keep)
-        stored_sig = stored_sig.select("doc_id", "sg")
+        # ONE signature per stored doc_id: a document re-presented in
+        # several batches would otherwise multiply every pair it joins
+        # (latest batch wins, deterministically)
+        from pyspark.sql import Window as W  # noqa: PLC0415
+
+        w = W.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
+        stored_sig = (
+            stored_sig.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).select("doc_id", "sg")
+        )
         cand_corpus = (
             inc_bands.alias("n")
             .join(stored_bands.alias("o"), "band_key")
@@ -132,7 +149,12 @@ def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
             .withColumn("pair_type", F.lit("incoming_vs_corpus"))
         )
         pairs = cand_inc.unionByName(cand_corpus)
-        sig_b = new_sig.select("doc_id", "sg").unionByName(stored_sig)
+        # incoming wins over any stored twin of the same doc_id (the
+        # store's copy of an id being re-processed is stale)
+        sig_b = sig_b.unionByName(
+            stored_sig.join(sig_b.select("doc_id"), "doc_id",
+                            "left_anti")
+        )
 
     a = new_sig.select(F.col("doc_id").alias("a_id"),
                        F.col("sg").alias("a_sg"))

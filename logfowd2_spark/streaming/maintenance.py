@@ -70,11 +70,28 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     if want_cons:
         live = os.path.join(root, CONSOLIDATED_DIR)
         man = read_file_manifest(live)
-        paths = [os.path.join(live, rel) for rel in man["files"]]
-        df = spark.read.option("basePath", live).parquet(*paths)
-        if set(want_cons) != cons_ids:
-            df = df.filter(F.col("batch_id").isin(want_cons))
-        parts.append(df)
+        if man is not None:
+            src = [os.path.join(live, rel) for rel in man["files"]]
+        elif os.path.isdir(live):
+            # corrupt/missing consolidated manifest: degrade to the
+            # directory listing (read_file_manifest's documented
+            # fallback contract) rather than failing every table read;
+            # correct whenever no generation flip is racing
+            src = [live]
+        else:
+            src = []
+        if src:
+            df = spark.read.option("basePath", live).parquet(*src)
+            # ALWAYS filter to the requested ids: in the crash window
+            # between a consolidation's manifest flip and its
+            # _TABLE.json update the generation can cover MORE ids than
+            # the pointer records, and an unfiltered scan would return
+            # those rows on top of their still-present per-batch dirs
+            parts.append(df.filter(F.col("batch_id").isin(want_cons)))
+        else:
+            # consolidated data lost entirely — last resort: the ids'
+            # per-batch dirs may survive as retention copies
+            want_dirs = want_dirs + want_cons
     dir_paths = [p for b in want_dirs for p in resolve_batch_paths(root, b)]
     if dir_paths:
         parts.append(spark.read.option("basePath", root).parquet(*dir_paths))
@@ -387,9 +404,35 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     committer = get_committer(cfg.commit_protocol)
     recover_compactions(cfg)
     root = os.path.join(cfg.output_path, "routed")
+    live = os.path.join(root, CONSOLIDATED_DIR)
     tman = read_table_manifest(root) or {
         "version": 1, "consolidated_ids": [], "pending": [],
     }
+
+    # PHASE-2 RECOVERY: the consolidated manifest records which ids its
+    # current generation covers ("consolidates", written atomically with
+    # the flip).  A crash between the flip and the _TABLE.json put
+    # leaves ids consolidated on disk but unrecorded — re-staging them
+    # would LIST THEIR ROWS TWICE (keep_prev_files re-lists the crashed
+    # generation's files alongside the retry's).  Finish phase 2 for
+    # them instead: record the ids in the table pointer and move on.
+    from logfowd2_spark.streaming.commit import read_file_manifest  # noqa: PLC0415
+
+    man_c = read_file_manifest(live)
+    recorded = set(tman["consolidated_ids"])
+    covered = (man_c or {}).get("consolidates", [])
+    orphans = [b for b in covered if b not in recorded]
+    if orphans:
+        now = _time.time()
+        tman = {
+            "version": 1,
+            "consolidated_ids": tman["consolidated_ids"] + orphans,
+            "pending": tman.get("pending", [])
+            + [{"batch_id": b, "superseded_at": now} for b in orphans],
+        }
+        write_table_manifest(committer, root, tman)
+        _reap_pending_dirs(cfg)
+
     ids = committed_batch_ids(cfg)
     if upto_batch_id is not None:
         if upto_batch_id not in ids:
@@ -400,7 +443,6 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
         return {"consolidated_ids": [], "rows": 0,
                 "files_before": 0, "files_after": 0}
 
-    live = os.path.join(root, CONSOLIDATED_DIR)
     stage = stage_path(live)
     shutil.rmtree(stage, ignore_errors=True)
     src_paths = [p for b in new_ids for p in resolve_batch_paths(root, b)]
@@ -426,8 +468,13 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
         raise RuntimeError(
             f"table compaction row mismatch: {rows_before} -> {rows_after}"
         )
+    # the flip carries the CUMULATIVE covered-id list ("consolidates"),
+    # making it the phase-1 commit record the recovery block above
+    # resolves a crashed phase 2 from
     manifest_swap(committer, live, stage, stats=new_stats,
-                  keep_prev_files=True)
+                  keep_prev_files=True,
+                  extra={"consolidates":
+                         tman["consolidated_ids"] + new_ids})
     now = _time.time()
     write_table_manifest(committer, root, {
         "version": 1,

@@ -461,6 +461,27 @@ def run_pipeline(
     manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
     man = load_manifest(manifest_path)
 
+    if cfg.dedup_store_enabled:
+        # resume sweep: replay dedup-store indexing for committed
+        # batches whose completion record is missing (a crash landed
+        # between batch commit and store append, or the store was
+        # enabled after those batches ran).  update_dedup_store is
+        # idempotent per batch, so a replay racing its own earlier
+        # crash converges.  Skip-existing watermark records
+        # (rows_in == 0, never processed) are not indexed.
+        from logfowd2_spark.streaming.dedup_store import (  # noqa: PLC0415
+            update_dedup_store,
+        )
+
+        for bid, rec in man.batches.items():
+            if rec.dedup is None and rec.rows_in > 0 and rec.input_files:
+                rec.dedup = update_dedup_store(
+                    spark, cfg, bid,
+                    spark.read.parquet(*rec.input_files)
+                    .select("doc_id", "tokens"),
+                )
+                save_manifest(man, manifest_path)
+
     results: list[BatchMetrics] = []
     done = 0
     for batch_id, chunk in batches:
@@ -502,7 +523,11 @@ def run_pipeline(
         if cfg.dedup_store_enabled:
             # maintenance stage: dedup this batch against ALL committed
             # history via the signature store (no corpus re-hash), then
-            # index it for future batches (streaming/dedup_store.py)
+            # index it for future batches (streaming/dedup_store.py).
+            # Completion is RECORDED in the checkpoint manifest — a
+            # crash between batch commit and store append is replayed
+            # by the resume sweep below, so the store never silently
+            # misses a committed batch.
             from logfowd2_spark.streaming.dedup_store import (  # noqa: PLC0415
                 update_dedup_store,
             )
@@ -511,6 +536,8 @@ def run_pipeline(
                 spark, cfg, batch_id,
                 spark.read.parquet(*chunk).select("doc_id", "tokens"),
             )
+            man.batches[batch_id].dedup = m.dedup
+            save_manifest(man, manifest_path)
         # per-batch metrics exposition (reference metrics/server.rs:185
         # scrape endpoint → atomic textfile publish; A4/A6 families)
         emit_metrics(cfg.output_path, results, gauges,

@@ -45,6 +45,7 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
                        pods: DataFrame, available_now: bool = True,
                        max_files_per_trigger: int = 4,
                        redrive_every: int = 0,
+                       redrive_max_every: int | None = None,
                        redrive_log: list | None = None,
                        gauges=None):
     """Start the stream: each micro-batch runs the SAME single-pass
@@ -61,10 +62,13 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
     pool.rs:358-470).  Wall-clock backoff makes no sense inside a
     trigger cadence, so the backoff unit is micro-batches: a generation
     that recovers nothing while rows remain doubles the wait to the
-    next attempt (N·2^streak batches, streak via ``RuntimeGauges`` —
-    the same counter that widens the adaptive timeout), and any
-    recovery resets it.  Each attempt is appended to ``redrive_log``
-    (generation, at_batch, result) for observability."""
+    next attempt (N·2^(streak-1) batches, streak via ``RuntimeGauges``
+    — the same counter that widens the adaptive timeout), CAPPED at
+    ``redrive_max_every`` (default 10·N — the reference's 300 s cap is
+    10x its 30 s base) so a long outage can never push the next attempt
+    beyond a bounded horizon; any recovery resets the streak.  Each
+    attempt is appended to ``redrive_log`` (generation, at_batch,
+    result) for observability."""
     from logfowd2_spark.config import resolve_codec  # noqa: PLC0415
     from logfowd2_spark.streaming.pipeline import execute_unified_batch  # noqa: PLC0415
 
@@ -104,12 +108,17 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
                        failed=result["recovered"] == 0
                        and result["requeued"] > 0)
         # backoff in micro-batches: N·2^(streak-1) after a failure,
-        # straight N after progress (same schedule shape as redrive_loop)
+        # straight N after progress — same schedule shape as
+        # redrive_loop, including its cap (without one, a long outage
+        # pushes next_at past the stream's remaining lifetime and the
+        # quarantine never drains after the sink recovers)
+        cap = (redrive_max_every if redrive_max_every is not None
+               else 10 * redrive_every)
         step = redrive_every * (
             2 ** max(0, gauges.consecutive_failures - 1)
             if gauges.consecutive_failures else 1
         )
-        state["next_at"] = state["batches"] + step
+        state["next_at"] = state["batches"] + min(step, cap)
         if redrive_log is not None:
             redrive_log.append({"generation": gen,
                                 "at_batch": state["batches"], **result})

@@ -202,3 +202,59 @@ def test_as_of_filter_pushes_to_consolidated_scan(spark, ran):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(batch_id,batch-00000)" in plan or "In(batch_id" in plan, \
         "batch_id predicate not pushed to the consolidated scan"
+
+
+def test_crash_between_flip_and_pointer_no_duplication(spark,
+                                                       tmp_path_factory):
+    """THE consolidation crash window (round-5 review finding): the
+    consolidated manifest flip committed (covering batch B) but the
+    process died before the _TABLE.json update.  Readers must not
+    double-count B (its per-batch dir is still live by the pointer),
+    and the rerun must FINISH phase 2 for B instead of re-staging it —
+    re-staging would list B's rows twice via keep_prev_files."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("ctab-crash")
+    paths = synth.write_dataset(str(d / "in"), n_rows=500, seed=29,
+                                n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        bulk_size=40,
+        vacuum_retention_s=3600.0,  # keep dirs so the window is live
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    ids = committed_batch_ids(cfg)
+    root = os.path.join(cfg.output_path, "routed")
+    baseline = _norm(read_routed(spark, cfg).toPandas())
+
+    # consolidate batch 0 only, then commit the real state and simulate
+    # the crash while consolidating batch 1: run it fully, then restore
+    # the PRE-RUN _TABLE.json (the pointer write "never happened")
+    compact_table(spark, cfg, upto_batch_id=ids[0])
+    tman_before = read_table_manifest(root)
+    compact_table(spark, cfg)  # consolidates batch 1 into the same gen
+    from logfowd2_spark.streaming.commit import write_table_manifest
+
+    write_table_manifest(get_committer(cfg.commit_protocol), root,
+                         tman_before)
+
+    # crash window: consolidated gen covers both ids, pointer only id 0,
+    # id 1's per-batch dir still present → reads must stay exact
+    man_c = read_file_manifest(os.path.join(root, CONSOLIDATED_DIR))
+    assert set(man_c["consolidates"]) == set(ids)
+    assert read_table_manifest(root)["consolidated_ids"] == [ids[0]]
+    mid = _norm(read_routed(spark, cfg).toPandas())
+    assert mid.equals(baseline), "crash window double-counts rows"
+
+    # rerun: phase-2 recovery records id 1 WITHOUT re-staging
+    gen_before = man_c["generation"]
+    res = compact_table(spark, cfg)
+    assert res["consolidated_ids"] == []  # nothing re-staged
+    man_c2 = read_file_manifest(os.path.join(root, CONSOLIDATED_DIR))
+    assert man_c2["generation"] == gen_before  # no new generation
+    assert read_table_manifest(root)["consolidated_ids"] == ids
+    after = _norm(read_routed(spark, cfg).toPandas())
+    assert after.equals(baseline), "rerun duplicated the batch's rows"

@@ -110,3 +110,72 @@ def test_rerun_is_idempotent(spark, ran):
     assert again["dup_pairs"] == metrics[2].dedup["dup_pairs"]
     sig = spark.read.parquet(store_paths(cfg)["signatures"])
     assert sig.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_crashed_indexing_is_replayed_on_resume(spark, tmp_path):
+    """A crash between a batch's commit and its store append must not
+    silently drop the batch from the corpus: the resume sweep replays
+    indexing for committed batches whose manifest completion record is
+    missing (round-5 review finding)."""
+    import shutil
+
+    from logfowd2_spark.streaming.checkpoint import (
+        load_manifest,
+        save_manifest,
+    )
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=300, seed=37,
+                                n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        dedup_store_enabled=True,
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    mpath = os.path.join(cfg.checkpoint_path, "manifest.json")
+    man = load_manifest(mpath)
+    assert all(rec.dedup is not None for rec in man.batches.values())
+    victim = list(man.batches)[1]
+    sp = store_paths(cfg)
+
+    # simulate the crash: completion record gone, store partitions gone
+    man.batches[victim].dedup = None
+    save_manifest(man, mpath)
+    for key in ("signatures", "bands", "dup_pairs"):
+        shutil.rmtree(os.path.join(sp[key], f"batch_id={victim}"),
+                      ignore_errors=True)
+    sig = spark.read.parquet(sp["signatures"])
+    assert sig.where(f"batch_id = '{victim}'").count() == 0
+
+    # resume: no new batches, but the sweep re-indexes the victim
+    out = run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                       files_per_batch=1)
+    assert out == []  # everything was already committed
+    sig = spark.read.parquet(sp["signatures"])
+    assert sig.where(f"batch_id = '{victim}'").count() > 0
+    assert load_manifest(mpath).batches[victim].dedup is not None
+
+
+def test_retry_with_single_batch_store(spark, tmp_path):
+    """Idempotent retry when the retried batch is the ONLY one in the
+    store: the rmtree leaves empty store roots, and the corpus probe
+    must see 'no data', not choke on schema inference (round-5 review
+    finding)."""
+    from logfowd2_spark.streaming.dedup_store import update_dedup_store
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=100, seed=41,
+                                n_files=1)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        dedup_store_enabled=True,
+    )
+    docs = spark.read.parquet(paths["sequences"]).select("doc_id", "tokens")
+    first = update_dedup_store(spark, cfg, "batch-00000", docs)
+    again = update_dedup_store(spark, cfg, "batch-00000", docs)  # retry
+    assert again == first
+    dup = spark.read.parquet(store_paths(cfg)["dup_pairs"])
+    assert dup.where("pair_type <> 'incoming_vs_incoming'").count() == 0
