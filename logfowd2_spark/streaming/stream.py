@@ -79,10 +79,10 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
     stream = read_sequences_stream(
         spark, cfg, max_files_per_trigger=max_files_per_trigger
     )
-    if redrive_every:
+    if gauges is None:
         from logfowd2_spark.streaming.metrics import RuntimeGauges  # noqa: PLC0415
 
-        gauges = gauges if gauges is not None else RuntimeGauges()
+        gauges = RuntimeGauges()  # A6 gauges ride the stream loop too
     state = {"batches": 0, "next_at": redrive_every}
 
     def _maybe_redrive() -> None:
@@ -123,9 +123,26 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
             redrive_log.append({"generation": gen,
                                 "at_batch": state["batches"], **result})
 
+    seen_metrics: list = []
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        execute_unified_batch(batch_df, pods, cfg, f"stream-{batch_id:05d}")
+        import time  # noqa: PLC0415
+
+        from logfowd2_spark.streaming.metrics import emit_metrics  # noqa: PLC0415
+
+        t0 = time.perf_counter()
+        m = execute_unified_batch(batch_df, pods, cfg,
+                                  f"stream-{batch_id:05d}")
+        m.wall_ms = (time.perf_counter() - t0) * 1000.0
         state["batches"] += 1
+        if gauges is not None:
+            gauges.observe(m.wall_ms, failed=not m.conservation_ok())
+        # same per-batch metrics exposition as the batch driver loop
+        # (reference metrics/server.rs:185 scrape endpoint) — the
+        # streaming path publishes the identical family set
+        seen_metrics.append(m)
+        emit_metrics(cfg.output_path, seen_metrics, gauges,
+                     commit_protocol=cfg.commit_protocol)
         _maybe_redrive()
 
     writer = (

@@ -172,3 +172,27 @@ def test_streaming_redrive_recovers_transient_sink(spark, tmp_path):
     assert got == want
     assert (sorted(r["doc_id"] for r in routed.select("doc_id").collect())
             == sorted(r["doc_id"] for r in healthy.select("doc_id").collect()))
+
+
+def test_streaming_emits_metrics_exposition(spark, tmp_path):
+    """The streaming path publishes the same per-batch Prometheus text
+    exposition as the batch driver (<output>/metrics/metrics.prom with
+    the reference's metric families)."""
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=200, seed=43,
+                                n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    from logfowd2_spark.streaming.pipeline import load_routes
+
+    cfg.routes = load_routes(spark, paths["routes"])
+    pods = spark.read.parquet(paths["pods"])
+    q = streaming_pipeline(spark, cfg, pods, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    prom = open(os.path.join(cfg.output_path, "metrics",
+                             "metrics.prom")).read()
+    assert "logfowd_events_processed_total" in prom
+    assert "logfowd_processing_duration_seconds_count" in prom
+    assert "logfowd_network_ema_ms" in prom  # gauges ride the stream
