@@ -39,6 +39,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain the incremental dedup store: after "
                          "each batch commit, flag dups vs all history "
                          "and index the batch (streaming/dedup_store.py)")
+    ap.add_argument("--compact-table", action="store_true",
+                    help="after the batches, bin-pack all committed "
+                         "batch dirs into the consolidated generation "
+                         "(maintenance.compact_table; as-of reads stay "
+                         "exact)")
+    ap.add_argument("--vacuum-expired", action="store_true",
+                    help="run the snapshot-expiry sweep: reap retired "
+                         "generations and consolidation-superseded "
+                         "batch dirs past vacuum_retention_s")
     args = ap.parse_args(argv)
 
     cfg = PipelineConfig.load(args.config)
@@ -85,6 +94,17 @@ def main(argv: list[str] | None = None) -> int:
                 gauges=gauges,
             )
             print(json.dumps({"redrive": summary}))
+        if args.compact_table:
+            from logfowd2_spark.streaming.maintenance import compact_table
+
+            print(json.dumps({"compact_table": compact_table(spark, cfg)}))
+        if args.vacuum_expired:
+            from logfowd2_spark.streaming.maintenance import (
+                vacuum_expired_table,
+            )
+
+            print(json.dumps(
+                {"vacuum_expired": vacuum_expired_table(cfg)}))
         print(json.dumps({
             "batches_run": len(metrics),
             # run_pipeline pinned 'auto' to a concrete codec for the run
