@@ -117,11 +117,16 @@ def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
     # "the store has corpus batches" must mean actual DATA, not just a
     # directory husk: after this batch's own rmtree (idempotent retry)
     # the bands root can exist empty, and spark.read on an empty dir
-    # throws schema-inference errors
+    # throws schema-inference errors.  glob.escape guards output paths
+    # containing [ ] ? * (an unescaped class silently matches nothing
+    # and would disable the corpus side forever); iglob+next stops at
+    # the FIRST match instead of materializing the store's whole file
+    # listing every batch.
     import glob as _glob  # noqa: PLC0415
 
-    has_store = bool(_glob.glob(
-        os.path.join(paths["bands"], "**", "*.parquet"), recursive=True))
+    has_store = next(_glob.iglob(
+        os.path.join(_glob.escape(paths["bands"]), "**", "*.parquet"),
+        recursive=True), None) is not None
     if has_store:
         stored_bands = spark.read.parquet(paths["bands"])
         stored_sig = spark.read.parquet(paths["signatures"])
@@ -129,16 +134,6 @@ def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
             keep = F.col("batch_id") != exclude_batch
             stored_bands = stored_bands.where(keep)
             stored_sig = stored_sig.where(keep)
-        # ONE signature per stored doc_id: a document re-presented in
-        # several batches would otherwise multiply every pair it joins
-        # (latest batch wins, deterministically)
-        from pyspark.sql import Window as W  # noqa: PLC0415
-
-        w = W.partitionBy("doc_id").orderBy(F.col("batch_id").desc())
-        stored_sig = (
-            stored_sig.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).select("doc_id", "sg")
-        )
         cand_corpus = (
             inc_bands.alias("n")
             .join(stored_bands.alias("o"), "band_key")
@@ -149,10 +144,28 @@ def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
             .withColumn("pair_type", F.lit("incoming_vs_corpus"))
         )
         pairs = cand_inc.unionByName(cand_corpus)
+        # Only signatures that can actually JOIN a pair matter: restrict
+        # the store to the candidate b_ids FIRST (semi-join — bounded by
+        # candidate count), and only then pick one signature per doc_id
+        # for re-presented documents.  A latest-per-doc window over the
+        # full store would shuffle+sort the entire corpus every batch.
+        cand_b = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+        stored_hit = stored_sig.join(cand_b, "doc_id", "leftsemi")
+        from pyspark.sql import Window as W  # noqa: PLC0415
+
+        # latest batch wins; order by (length, value) so zero-pad
+        # overflow at 10^5 batches ('batch-100000' vs 'batch-99999')
+        # still ranks numerically-later ids first
+        w = W.partitionBy("doc_id").orderBy(
+            F.length("batch_id").desc(), F.col("batch_id").desc())
+        stored_hit = (
+            stored_hit.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).select("doc_id", "sg")
+        )
         # incoming wins over any stored twin of the same doc_id (the
         # store's copy of an id being re-processed is stale)
         sig_b = sig_b.unionByName(
-            stored_sig.join(sig_b.select("doc_id"), "doc_id",
+            stored_hit.join(sig_b.select("doc_id"), "doc_id",
                             "left_anti")
         )
 

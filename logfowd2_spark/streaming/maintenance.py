@@ -96,7 +96,14 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     if dir_paths:
         parts.append(spark.read.option("basePath", root).parquet(*dir_paths))
     if not parts:
-        return spark.read.option("basePath", root).parquet(root)
+        # nothing resolved for the requested ids (e.g. consolidated data
+        # AND the retention copies are both gone) — return the root scan
+        # FILTERED to those ids: empty when the data is truly lost,
+        # never other batches' rows smuggled into the snapshot
+        return (
+            spark.read.option("basePath", root).parquet(root)
+            .filter(F.col("batch_id").isin(ids))
+        )
     out = parts[0]
     for p in parts[1:]:
         # consolidated files carry batch_id as a data column while

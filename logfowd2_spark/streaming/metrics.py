@@ -166,7 +166,11 @@ def prometheus_exposition(batches: list[BatchMetrics],
 
     fam("logfowd_processing_duration_seconds", "histogram",
         "Time spent processing events")
-    walls = [m.wall_ms / 1000.0 for m in batches if m.wall_ms > 0]
+    # a carry record (continuous streaming folds evicted batches'
+    # COUNTERS into one accumulator) is not a batch sample — it feeds
+    # the counters and the rate denominator, never the histograms
+    walls = [m.wall_ms / 1000.0 for m in batches
+             if m.wall_ms > 0 and not getattr(m, "is_carry", False)]
     _histogram(lines, "logfowd_processing_duration_seconds",
                'component="sender",operation="send_batch"',
                walls, DURATION_BUCKETS)

@@ -473,8 +473,24 @@ def run_pipeline(
             update_dedup_store,
         )
 
+        import warnings  # noqa: PLC0415
+
         for bid, rec in man.batches.items():
             if rec.dedup is None and rec.rows_in > 0 and rec.input_files:
+                missing = [f for f in rec.input_files
+                           if not os.path.exists(f)]
+                if missing:
+                    # historical inputs rotated away (e.g. the store was
+                    # enabled long after those batches ran): the batch
+                    # cannot be indexed, but it must not brick the
+                    # pipeline — warn and move on; the sweep re-probes
+                    # on every startup in case the files come back
+                    warnings.warn(
+                        f"dedup-store sweep: skipping {bid} — "
+                        f"{len(missing)} input file(s) no longer exist",
+                        stacklevel=2,
+                    )
+                    continue
                 rec.dedup = update_dedup_store(
                     spark, cfg, bid,
                     spark.read.parquet(*rec.input_files)

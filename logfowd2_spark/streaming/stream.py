@@ -123,7 +123,18 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
             redrive_log.append({"generation": gen,
                                 "at_batch": state["batches"], **result})
 
-    seen_metrics: list = []
+    # BOUNDED metrics state for a continuous stream: counters are
+    # cumulative forever (folded into a carry record as batches leave
+    # the window), histograms cover the trailing window — an unbounded
+    # per-batch list would grow driver memory and per-trigger emit cost
+    # linearly for the stream's whole lifetime
+    from collections import deque  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.metrics import BatchMetrics  # noqa: PLC0415
+
+    window: deque = deque(maxlen=256)
+    carry = BatchMetrics()
+    carry.is_carry = True  # excluded from histogram samples
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         import time  # noqa: PLC0415
@@ -135,13 +146,20 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
                                   f"stream-{batch_id:05d}")
         m.wall_ms = (time.perf_counter() - t0) * 1000.0
         state["batches"] += 1
-        if gauges is not None:
-            gauges.observe(m.wall_ms, failed=not m.conservation_ok())
+        gauges.observe(m.wall_ms, failed=not m.conservation_ok())
+        if len(window) == window.maxlen:
+            old = window[0]  # evicted below — keep its counters
+            carry.rows_in += old.rows_in
+            carry.rows_routed += old.rows_routed
+            carry.parse_failures += old.parse_failures
+            carry.wall_ms += old.wall_ms
+            for k, v in old.failure_counts.items():
+                carry.failure_counts[k] = carry.failure_counts.get(k, 0) + v
+        window.append(m)
         # same per-batch metrics exposition as the batch driver loop
         # (reference metrics/server.rs:185 scrape endpoint) — the
         # streaming path publishes the identical family set
-        seen_metrics.append(m)
-        emit_metrics(cfg.output_path, seen_metrics, gauges,
+        emit_metrics(cfg.output_path, [carry, *window], gauges,
                      commit_protocol=cfg.commit_protocol)
         _maybe_redrive()
 

@@ -212,8 +212,6 @@ def test_crash_between_flip_and_pointer_no_duplication(spark,
     double-count B (its per-batch dir is still live by the pointer),
     and the rerun must FINISH phase 2 for B instead of re-staging it —
     re-staging would list B's rows twice via keep_prev_files."""
-    import shutil
-
     d = tmp_path_factory.mktemp("ctab-crash")
     paths = synth.write_dataset(str(d / "in"), n_rows=500, seed=29,
                                 n_files=2)
