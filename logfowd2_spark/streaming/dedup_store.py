@@ -9,23 +9,37 @@ LSH band index to a durable store under ``<output>/dedup/`` and emits
 ``dup_pairs/batch_id=...`` for incoming-vs-corpus hits — so each batch
 is deduped against ALL history without ever re-hashing the corpus.
 
-Scale shape (the 100 TB contract):
+Scale shape (the 100 TB contract), measured on 94k synthetic log docs
+(~16M token-trigram shingles) at local[32]:
 
+- the SIGNATURE FOLD is a vectorized Arrow kernel (``mapInPandas`` +
+  ``np.minimum.reduceat`` over doc boundaries): shingle md5s stay
+  JVM-side codegen, then ONE shuffle co-locates (doc_id, h1, h2) and
+  numpy computes all k=128 minima natively.  The SQL explode-fold the
+  catalog uses for its (much smaller, oracle-checked) corpus is
+  128x the row volume through a hash aggregate — measured 472 s vs
+  ~15 s for this kernel on the same input;
 - the corpus side is a parquet SCAN of the stored band index and
   signature tables — no shingle build, no md5, no re-hash; only the
-  incoming batch (1/Nth of history) is hashed, once;
-- candidates come from a band-key EQUI-join (incoming bands × stored
-  band index) — linear in incoming size × bucket occupancy, never
-  all-pairs;
-- the verify is MinHash similarity estimation over the k=128 stored
-  signatures (matching-component fraction, the standard estimator with
-  E[est] = Jaccard and σ ≤ 1/√k ≈ 0.088) — exact-shingle verification
-  would require storing shingles (≈ the corpus itself), defeating the
-  store.  The catalog query keeps the exact-verify variant oracle-green
-  for the algorithmic guarantee.
+  incoming batch is hashed, once;
+- TWO-TIER matching, because template-heavy logs create mega-buckets
+  (one measured band bucket held 35k twins → 4.4e9 candidate pairs):
+  (1) an EXACT tier joins incoming signature fingerprints against the
+  store grouped per fingerprint — each incoming doc gets ONE star pair
+  (a representative + the match count), linear however many twins
+  exist; (2) a BANDED fuzzy tier for everything not exact-matched,
+  with buckets above ``BAND_BUCKET_CAP`` excluded from pair generation
+  (their members are template twins the exact tier already caught —
+  same trade as the catalog's ``SHINGLE_DF_CAP``) and matches capped
+  per incoming doc (``MAX_MATCHES``, a window group-limit);
+- the fuzzy verify is MinHash similarity estimation over the k=128
+  stored signatures (matching-component fraction, E[est] = Jaccard,
+  sigma <= 1/sqrt(k) ~= 0.088) — exact-shingle verification would
+  require storing shingles (~ the corpus itself), defeating the store.
 
 The hash family is IDENTICAL to the catalog's (Broder k-permutation,
-trainingdata.py), so signatures written by either path interoperate.
+trainingdata.py), so signatures written by either path interoperate;
+``sig_fp`` (md5 of the signature's int64 buffer) is store-internal.
 """
 
 from __future__ import annotations
@@ -38,9 +52,9 @@ from pyspark.sql import functions as F
 from logfowd2_spark.config import PipelineConfig
 from logfowd2_spark.plans.trainingdata import (
     _BANDS_EXPR,
-    _SIG_SPARK,
     LSH_BANDS,
     MINHASH_K,
+    MINHASH_PRIME,
 )
 
 #: token-trigram shingles: the pipeline's documents are token sequences,
@@ -51,28 +65,128 @@ _TOKEN_SHINGLES = (
     "i -> array_join(slice(tokens, i, 3), ' '))) AS shingle"
 )
 
+#: fuzzy-tier band buckets larger than this are excluded from pair
+#: generation (mass-template twins; the exact tier owns identical ones).
+#: Log corpora are pathologically template-heavy — at cap 1024 a 94k-doc
+#: batch still generated ~1e9 candidates (measured spill); 64 bounds the
+#: join to ~32*64 rows per doc while ordinary near-dup pairs (which
+#: share SOME low-traffic band) still surface.
+BAND_BUCKET_CAP = 64
+#: fuzzy candidates verified per incoming doc (deterministic b_id order
+#: — candidates beyond this are the documented recall trade on docs
+#: sitting in many crowded buckets)
+MAX_CANDIDATES = 256
+#: fuzzy matches kept per incoming doc (group-limit, best-est first)
+MAX_MATCHES = 20
+
 
 def batch_signatures(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """(doc_id, sg array<bigint>) MinHash signatures for an incoming
-    batch of (doc_id, tokens) rows — same k=128 Broder family as the
-    catalog (one md5 per shingle, k linear universal hashes)."""
+    """(doc_id, sg array<bigint>, sig_fp) MinHash signatures for an
+    incoming batch of (doc_id, tokens) rows — same k=128 Broder family
+    as the catalog (one md5 per shingle, k linear universal hashes),
+    folded in a vectorized Arrow kernel:
+
+    1. shingle build + per-shingle md5 halves: JVM whole-stage codegen;
+    2. one shuffle co-locates and sorts each doc's (h1, h2) rows;
+    3. ``mapInPandas``: the (rows x 128) hash matrix is one numpy
+       broadcast multiply-add-mod, per-doc minima one
+       ``np.minimum.reduceat`` at doc boundaries — documents spanning
+       Arrow batches are merged by carrying the open doc across the
+       iterator (batches arrive in partition order).
+
+    (h1 + i*h2) stays < 2^35 (28-bit halves), exact in int64 — the
+    identical integers the catalog's SQL fold produces."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    par = spark.sparkContext.defaultParallelism
     docs.selectExpr("doc_id", _TOKEN_SHINGLES) \
         .createOrReplaceTempView("dedup_sh")
-    return spark.sql(
-        f"WITH sh AS (SELECT doc_id, shingle FROM dedup_sh), "
-        f"{_SIG_SPARK.strip()} SELECT doc_id, sg FROM sig"
-    )
+    hs = spark.sql(
+        "SELECT doc_id, "
+        " CAST(conv(substr(md5(shingle), 1, 7), 16, 10) AS BIGINT) AS h1, "
+        " CAST(conv(substr(md5(shingle), 9, 7), 16, 10) AS BIGINT) AS h2 "
+        "FROM dedup_sh"
+    ).repartition(par, "doc_id").sortWithinPartitions("doc_id")
+
+    def fold(batches):
+        import hashlib  # noqa: PLC0415
+
+        I = np.arange(MINHASH_K, dtype=np.int64)  # noqa: E741
+        P = MINHASH_PRIME
+
+        def band_keys(m):
+            # byte-identical to the catalog's _BANDS_EXPR strings
+            # (md5("<b>:" + decimal-concatenated 4-hash slice)), so the
+            # kernel-built index interoperates with SQL-built bands
+            return [
+                hashlib.md5(
+                    (f"{b}:" + "".join(
+                        str(int(x)) for x in m[b * 4:(b + 1) * 4]
+                    )).encode()
+                ).hexdigest()
+                for b in range(LSH_BANDS)
+            ]
+
+        def frame(ids, mins):
+            return pd.DataFrame({
+                "doc_id": ids,
+                "sg": [m.tolist() for m in mins],
+                "sig_fp": [hashlib.md5(np.ascontiguousarray(m)
+                                       .tobytes()).hexdigest()
+                           for m in mins],
+                "bands": [band_keys(m) for m in mins],
+            })
+
+        pend_id, pend_min = None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            h1 = pdf["h1"].to_numpy(dtype=np.int64)
+            h2 = pdf["h2"].to_numpy(dtype=np.int64)
+            M = (h1[:, None] + I[None, :] * h2[:, None]) % P
+            starts = np.concatenate(
+                [[0], np.nonzero(ids[1:] != ids[:-1])[0] + 1])
+            mins = np.minimum.reduceat(M, starts, axis=0)
+            gids = ids[starts]
+            if pend_id is not None:
+                if gids[0] == pend_id:  # doc continues across batches
+                    mins[0] = np.minimum(mins[0], pend_min)
+                else:
+                    yield frame([pend_id], [pend_min])
+            pend_id, pend_min = gids[-1], mins[-1].copy()
+            if len(gids) > 1:
+                yield frame(gids[:-1], mins[:-1])
+        if pend_id is not None:
+            yield frame([pend_id], [pend_min])
+
+    return hs.mapInPandas(
+        fold,
+        "doc_id string, sg array<bigint>, sig_fp string, "
+        "bands array<string>")
 
 
 def exploded_bands(sig: DataFrame) -> DataFrame:
-    """(doc_id, band_key) LSH index rows from a signature table."""
+    """(doc_id, band_key) LSH index rows from a signature table — a
+    pure-codegen explode when the kernel already carried the band keys,
+    else derived from ``sg`` via the catalog's band expression
+    (identical strings either way)."""
+    if "bands" in sig.columns:
+        return sig.selectExpr("doc_id", "explode(bands) AS band_key")
     return sig.selectExpr("doc_id", _BANDS_EXPR).selectExpr(
         "doc_id", "explode(bands) AS band_key"
     )
 
 
 def _est_jaccard(a: str, b: str):
-    """MinHash similarity estimate: fraction of agreeing components."""
+    """MinHash similarity estimate: fraction of agreeing components.
+    The lambda fold is a CodegenFallback HOF, but it beats the numpy
+    alternative here: an A/B on 940k capped candidates measured the
+    interpreted fold at 13-15 s vs 15-17 s for a mapInPandas
+    equality-mean — the per-candidate 2x128-long Arrow list transfer
+    costs more than the interpretation saves (unlike the signature
+    FOLD, where numpy replaces a 128x row blowup, not a transfer)."""
     return (
         F.aggregate(
             F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -90,38 +204,72 @@ def store_paths(cfg: PipelineConfig) -> dict[str, str]:
     }
 
 
+def _star_pairs(sig_a: DataFrame, grouped_b: DataFrame,
+                pair_type: str) -> DataFrame:
+    """Exact-tier output: one row per (incoming doc, fingerprint match
+    group) — representative + group size, est 1.0 by construction."""
+    return (
+        sig_a.select(F.col("doc_id").alias("a_id"), "sig_fp")
+        .join(grouped_b, "sig_fp")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id",
+                F.lit(pair_type).alias("pair_type"),
+                F.lit(1.0).alias("est_jaccard"),
+                F.col("n").alias("corpus_matches"))
+    )
+
+
 def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
                        new_sig: DataFrame,
                        exclude_batch: str | None = None) -> DataFrame:
     """Duplicate pairs for an incoming batch: its rows vs the STORED
     corpus (``incoming_vs_corpus``) and within itself
-    (``incoming_vs_incoming``).  The corpus side is a scan of the stored
-    band index + signature tables only; ``exclude_batch`` drops the
-    current batch's own (just-written) store partition from the corpus
-    side — partition pruning, and without it every incoming doc would
-    self-join its stored twin."""
+    (``incoming_vs_incoming``), each through the exact-fingerprint tier
+    first and the capped banded tier for the fuzzy remainder.  The
+    corpus side is a scan of the stored band index + signature tables
+    only; ``exclude_batch`` drops the current batch's own (just-written)
+    store partition from the corpus side."""
     paths = store_paths(cfg)
+
+    # ---- exact tier, within the batch: fingerprint groups -> star
+    fp_groups_inc = (
+        new_sig.groupBy("sig_fp")
+        .agg(F.min("doc_id").alias("b_id"),
+             (F.count(F.lit(1)) - 1).alias("n"))
+        .where(F.col("n") > 0)
+    )
+    exact_inc = _star_pairs(new_sig, fp_groups_inc,
+                            "incoming_vs_incoming")
+
+    parts = [exact_inc]
+    fuzzy_pairs = None
     inc_bands = exploded_bands(new_sig)
 
+    # incoming self fuzzy candidates (exact-matched docs excluded: the
+    # exact tier already flagged them, and their mega-buckets are what
+    # the cap exists to avoid)
+    exact_inc_ids = exact_inc.select(F.col("a_id").alias("doc_id"))
+    inc_fuzzy_bands = inc_bands.join(exact_inc_ids, "doc_id", "left_anti")
+    ok_inc = (
+        inc_fuzzy_bands.groupBy("band_key").count()
+        .where(F.col("count") <= BAND_BUCKET_CAP).select("band_key")
+    )
+    gated_inc = inc_fuzzy_bands.join(ok_inc, "band_key")
     cand_inc = (
-        inc_bands.alias("a")
-        .join(inc_bands.alias("b"), "band_key")
+        gated_inc.alias("a").join(gated_inc.alias("b"), "band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("a_id"),
                 F.col("b.doc_id").alias("b_id"))
         .distinct()
         .withColumn("pair_type", F.lit("incoming_vs_incoming"))
     )
-    pairs = cand_inc
+    fuzzy_pairs = cand_inc
     sig_b = new_sig.select("doc_id", "sg")
+
     # "the store has corpus batches" must mean actual DATA, not just a
-    # directory husk: after this batch's own rmtree (idempotent retry)
-    # the bands root can exist empty, and spark.read on an empty dir
-    # throws schema-inference errors.  glob.escape guards output paths
-    # containing [ ] ? * (an unescaped class silently matches nothing
-    # and would disable the corpus side forever); iglob+next stops at
-    # the FIRST match instead of materializing the store's whole file
-    # listing every batch.
+    # directory husk (glob.escape: metacharacters in output_path must
+    # not silently disable the corpus side; iglob: first match, never
+    # the store's whole listing)
     import glob as _glob  # noqa: PLC0415
 
     has_store = next(_glob.iglob(
@@ -134,52 +282,93 @@ def incoming_dup_pairs(spark: SparkSession, cfg: PipelineConfig,
             keep = F.col("batch_id") != exclude_batch
             stored_bands = stored_bands.where(keep)
             stored_sig = stored_sig.where(keep)
+
+        # ---- exact tier vs the corpus: group the store PER
+        # FINGERPRINT (linear however many template twins exist) and
+        # join incoming fingerprints — one star row per incoming doc
+        fp_groups_st = stored_sig.groupBy("sig_fp").agg(
+            F.min("doc_id").alias("b_id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        exact_corpus = _star_pairs(new_sig, fp_groups_st,
+                                   "incoming_vs_corpus")
+        parts.append(exact_corpus)
+
+        # ---- banded fuzzy tier: only incoming docs without an exact
+        # corpus match, only buckets under the cap on BOTH sides
+        exact_ids = exact_corpus.select(F.col("a_id").alias("doc_id"))
+        inc_rem = inc_bands.join(exact_ids, "doc_id", "left_anti")
+        hit = stored_bands.join(
+            inc_rem.select("band_key").distinct(), "band_key")
+        ok_keys = (
+            hit.groupBy("band_key").count()
+            .where(F.col("count") <= BAND_BUCKET_CAP).select("band_key")
+        )
         cand_corpus = (
-            inc_bands.alias("n")
-            .join(stored_bands.alias("o"), "band_key")
+            inc_rem.alias("n")
+            .join(hit.join(ok_keys, "band_key").alias("o"), "band_key")
             .where(F.col("n.doc_id") != F.col("o.doc_id"))
             .select(F.col("n.doc_id").alias("a_id"),
                     F.col("o.doc_id").alias("b_id"))
             .distinct()
             .withColumn("pair_type", F.lit("incoming_vs_corpus"))
         )
-        pairs = cand_inc.unionByName(cand_corpus)
-        # Only signatures that can actually JOIN a pair matter: restrict
-        # the store to the candidate b_ids FIRST (semi-join — bounded by
-        # candidate count), and only then pick one signature per doc_id
-        # for re-presented documents.  A latest-per-doc window over the
-        # full store would shuffle+sort the entire corpus every batch.
-        cand_b = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+        fuzzy_pairs = cand_inc.unionByName(cand_corpus)
+
+        # signatures for the fuzzy verify: restrict the store to the
+        # candidate b_ids FIRST (semi-join, bounded by candidate count
+        # — a latest-per-doc window over the full store would shuffle
+        # the whole corpus every batch), then one signature per doc_id
+        # (latest batch wins; order by (length, value) so zero-pad
+        # overflow at 1e5 batches still ranks numerically)
+        cand_b = fuzzy_pairs.select(
+            F.col("b_id").alias("doc_id")).distinct()
         stored_hit = stored_sig.join(cand_b, "doc_id", "leftsemi")
         from pyspark.sql import Window as W  # noqa: PLC0415
 
-        # latest batch wins; order by (length, value) so zero-pad
-        # overflow at 10^5 batches ('batch-100000' vs 'batch-99999')
-        # still ranks numerically-later ids first
         w = W.partitionBy("doc_id").orderBy(
             F.length("batch_id").desc(), F.col("batch_id").desc())
         stored_hit = (
             stored_hit.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).select("doc_id", "sg")
         )
-        # incoming wins over any stored twin of the same doc_id (the
-        # store's copy of an id being re-processed is stale)
+        # incoming wins over any stored twin of the same doc_id
         sig_b = sig_b.unionByName(
             stored_hit.join(sig_b.select("doc_id"), "doc_id",
                             "left_anti")
         )
 
+    # ---- fuzzy verify + per-doc caps
     a = new_sig.select(F.col("doc_id").alias("a_id"),
                        F.col("sg").alias("a_sg"))
     b = sig_b.select(F.col("doc_id").alias("b_id"),
                      F.col("sg").alias("b_sg"))
-    return (
-        pairs.join(a, "a_id").join(b, "b_id")
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    # candidate cap BEFORE the signature join (deterministic order):
+    # bounds the verify's input per doc regardless of how crowded the
+    # surviving buckets are
+    wc = W.partitionBy("a_id", "pair_type").orderBy(F.col("b_id"))
+    fuzzy_pairs = (
+        fuzzy_pairs.withColumn("_cn", F.row_number().over(wc))
+        .where(F.col("_cn") <= MAX_CANDIDATES).drop("_cn")
+    )
+    wm = W.partitionBy("a_id", "pair_type").orderBy(
+        F.col("est_jaccard").desc(), F.col("b_id"))
+    fuzzy = (
+        fuzzy_pairs.join(a, "a_id").join(b, "b_id")
         .withColumn("est_jaccard",
                     F.round(_est_jaccard("a_sg", "b_sg"), 4))
         .where(F.col("est_jaccard") >= cfg.dedup_est_threshold)
-        .select("a_id", "b_id", "pair_type", "est_jaccard")
+        .withColumn("_rn", F.row_number().over(wm))
+        .where(F.col("_rn") <= MAX_MATCHES)
+        .select("a_id", "b_id", "pair_type", "est_jaccard",
+                F.lit(1).cast("long").alias("corpus_matches"))
     )
+    out = fuzzy
+    for p in parts:
+        out = out.unionByName(p)
+    return out
 
 
 def update_dedup_store(spark: SparkSession, cfg: PipelineConfig,
@@ -188,7 +377,7 @@ def update_dedup_store(spark: SparkSession, cfg: PipelineConfig,
     against the store, then append its signatures + band index.  Each
     output lands under ``batch_id=<tag>`` (idempotent retry: a rerun
     overwrites its own dirs; the store is only consulted for EARLIER
-    batches because this batch's dirs are replaced wholesale).
+    batches because this batch's partitions are excluded).
     Returns {"dup_pairs": n, "docs_indexed": n}."""
     paths = store_paths(cfg)
     sig_dir = os.path.join(paths["signatures"], f"batch_id={batch_tag}")
@@ -203,7 +392,7 @@ def update_dedup_store(spark: SparkSession, cfg: PipelineConfig,
     # the signature build feeds three consumers (pairs verify twice via
     # a/b, band index) — write it first, then read back the durable
     # table (same pattern as the catalog's materialized intermediates:
-    # survives executor loss, no lambda re-evaluation per consumer)
+    # survives executor loss, no re-fold per consumer)
     new_sig.write.mode("overwrite").parquet(sig_dir)
     new_sig = spark.read.parquet(sig_dir)
 
