@@ -43,6 +43,11 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy default) carries NO parquet statistics,
+        # which would blind both row-group pruning and the manifest's
+        # commit-time column bounds on every timestamp column; micros
+        # is the modern standard type and is stats-bearing
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow IPC batch size for pandas/mapInArrow UDFs: bigger batches
         # amortize the per-batch Python round-trip in the decode kernel

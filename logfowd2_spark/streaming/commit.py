@@ -410,20 +410,206 @@ def write_file_manifest(committer, live: str, files: list[str],
     )
 
 
+#: longest string bound stored in a manifest — a column whose min/max
+#: exceed this is simply recorded without bounds (absent stats = never
+#: pruned = always correct), keeping manifests small at 10⁶ files
+STAT_STRING_CAP = 64
+
+
+def _encode_bound(v):
+    """JSON-safe, ORDER-PRESERVING encoding of a parquet column bound.
+    Numbers stay numbers; timestamps/dates become fixed-width ISO
+    strings (lexicographic == chronological); strings pass through when
+    short enough.  Returns None for types we don't prune on (bytes,
+    decimals, booleans, nested) — the caller must treat None as
+    "no usable bound"."""
+    import datetime  # noqa: PLC0415
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str) and len(v) <= STAT_STRING_CAP:
+        return v
+    return None
+
+
 def collect_file_stats(root: str, files: list[str]) -> dict[str, dict]:
-    """Per-file ``{"rows", "bytes"}`` from the parquet footers — run
-    ONCE at commit time over the just-written files, so every later
-    metadata consumer reads the manifest instead of the footers."""
+    """Per-file ``{"rows", "bytes", "cols"}`` from the parquet footers —
+    run ONCE at commit time over the just-written files, so every later
+    metadata consumer reads the manifest instead of the footers.
+
+    ``cols`` maps each flat primitive column to its ``[min, max]``
+    bounds aggregated across the file's row groups (the manifest-level
+    column statistics Iceberg carries for scan planning): a reader with
+    a predicate prunes files from the manifest ALONE — zero footer
+    opens, zero file listings of irrelevant data — which at a 100 TB
+    table is the difference between planning from a few KB of JSON and
+    opening 10⁶ footers.  A column is dropped from ``cols`` the moment
+    any row group lacks usable stats (all-null chunk, unencodable type,
+    over-long string): absent bounds are never wrong, only unprunable.
+    """
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     out: dict[str, dict] = {}
     for rel in files:
         full = os.path.join(root, rel)
-        out[rel] = {
-            "rows": pq.ParquetFile(full).metadata.num_rows,
-            "bytes": os.path.getsize(full),
-        }
+        md = pq.ParquetFile(full).metadata
+        cols: dict[str, list] = {}
+        dropped: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                if "." in name or name in dropped:
+                    continue  # nested leaves: no file-level column bound
+                st = c.statistics
+                lo = _encode_bound(st.min) if st and st.has_min_max else None
+                hi = _encode_bound(st.max) if st and st.has_min_max else None
+                if lo is None or hi is None:
+                    dropped.add(name)
+                    cols.pop(name, None)
+                    continue
+                if name in cols:
+                    cols[name] = [min(cols[name][0], lo),
+                                  max(cols[name][1], hi)]
+                else:
+                    cols[name] = [lo, hi]
+        ent: dict = {"rows": md.num_rows, "bytes": os.path.getsize(full)}
+        if cols:
+            ent["cols"] = cols
+        out[rel] = ent
     return out
+
+
+_PRUNE_OPS = ("==", ">=", ">", "<=", "<")
+
+
+def _bound_excludes(lo, hi, op: str, val) -> bool:
+    """True when a file whose column spans ``[lo, hi]`` provably holds
+    NO row satisfying ``col <op> val``.  Incomparable domains (numeric
+    bound vs string value or vice versa) never exclude — pruning must
+    only ever drop files it can PROVE empty for the predicate."""
+    num_b = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    num_v = isinstance(val, (int, float)) and not isinstance(val, bool)
+    if num_b != num_v:
+        return False
+    if op == "==":
+        return val < lo or val > hi
+    if op == ">=":
+        return hi < val
+    if op == ">":
+        return hi <= val
+    if op == "<=":
+        return lo > val
+    if op == "<":
+        return lo >= val
+    return False
+
+
+def prune_manifest_files(man: dict, predicates,
+                         files: list[str] | None = None) -> list[str]:
+    """The subset of ``man["files"]`` (or the ``files`` subset of it)
+    that may hold rows satisfying ALL of ``predicates``
+    (``[(col, op, value), ...]``, op one of ``== >= > <= <``) —
+    manifest-only data skipping.  Files without bounds for a
+    predicate's column are kept (bounds are advisory: pruning is an
+    optimization, never a filter — callers still apply the exact
+    predicate Spark-side)."""
+    files = list(man.get("files", [])) if files is None else list(files)
+    if not predicates:
+        return files
+    enc = []
+    for col, op, val in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"unsupported prune op {op!r}; one of {_PRUNE_OPS}")
+        enc.append((col, op, _encode_bound(val)))
+    stats = man.get("stats") or {}
+    kept = []
+    for f in files:
+        cols = (stats.get(f) or {}).get("cols") or {}
+        for col, op, val in enc:
+            b = cols.get(col)
+            if val is None or b is None:
+                continue
+            if _bound_excludes(b[0], b[1], op, val):
+                break
+        else:
+            kept.append(f)
+    return kept
+
+
+def prune_files_by_id_set(man: dict, col: str, ids) -> list[str]:
+    """Files whose ``col`` bounds may contain ANY of ``ids`` — the
+    IN-predicate shape of manifest pruning (an as-of read over the
+    consolidated generation prunes its files by batch_id bounds here
+    before Spark ever lists them)."""
+    enc = [_encode_bound(i) for i in ids]
+    if any(e is None for e in enc):
+        return list(man.get("files", []))
+    stats = man.get("stats") or {}
+    kept = []
+    for f in man.get("files", []):
+        b = ((stats.get(f) or {}).get("cols") or {}).get(col)
+        if b is None or any(
+            not _bound_excludes(b[0], b[1], "==", v) for v in enc
+        ):
+            kept.append(f)
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# Manifest-carried schema (add-column evolution on the plain layout)
+# ---------------------------------------------------------------------------
+
+def manifest_schema(man: dict | None):
+    """The physical data-file schema a manifest records (written by the
+    pipeline commit and carried across compaction flips), as a Spark
+    ``StructType`` — or None for legacy/absent manifests."""
+    sj = (man or {}).get("schema")
+    if not sj:
+        return None
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    return StructType.fromJson(sj)
+
+
+def merge_schemas(schemas):
+    """Union a sequence of ``StructType``s by field NAME into the table
+    read schema (first-seen order, later-added columns appended) — the
+    add-column half of schema evolution: a scan with the merged schema
+    reads files missing a column as nulls, with zero footer opens
+    (Spark's ``mergeSchema`` derives the same thing by reading every
+    footer).  All merged fields are nullable (an added column is
+    necessarily absent, hence null, in pre-evolution files).  A column
+    appearing with two different types raises — type-changing evolution
+    needs an explicit rewrite, never a silent cast."""
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    fields: dict[str, StructField] = {}
+    order: list[str] = []
+    for s in schemas:
+        for f in s.fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = StructField(f.name, f.dataType, True)
+                order.append(f.name)
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution conflict on column {f.name!r}: "
+                    f"{prev.dataType.simpleString()} vs "
+                    f"{f.dataType.simpleString()} — type changes require "
+                    f"a table rewrite"
+                )
+    return StructType([fields[n] for n in order])
 
 
 def manifest_rows(live: str) -> int | None:

@@ -30,23 +30,37 @@ def committed_batch_ids(cfg: PipelineConfig) -> list[str]:
     return list(man.batches.keys())  # insertion order == commit order
 
 
-def resolve_batch_paths(root: str, batch_id: str) -> list[str]:
+def resolve_batch_paths(root: str, batch_id: str,
+                        predicates=None) -> list[str]:
     """The scan paths for one batch dir: resolved through its committed
     ``_FILES.json`` manifest when present (snapshot-isolated against a
     concurrent compaction's generation flip — streaming/commit.py), else
     the directory itself (legacy dirs; correct whenever no rewrite is
-    racing)."""
-    from logfowd2_spark.streaming.commit import read_file_manifest  # noqa: PLC0415
+    racing).  ``predicates`` (``[(col, op, value), ...]``) prune the
+    manifest's file list by its commit-time column bounds — data
+    skipping from the manifest alone, no footer opens, no listings."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        prune_manifest_files, read_file_manifest,
+    )
 
     d = os.path.join(root, f"batch_id={batch_id}")
     man = read_file_manifest(d)
     if man is not None:
-        return [os.path.join(d, rel) for rel in man["files"]]
+        rels = prune_manifest_files(man, predicates)
+        return [os.path.join(d, rel) for rel in rels]
     return [d] if os.path.isdir(d) else []
 
 
+#: partition columns recovered from directory names — never present in
+#: the data files, appended by Spark after the (manifest-carried) data
+#: schema; listed here so a provably-empty pruned scan can still build
+#: the full result schema without touching storage
+_PARTITION_FIELDS = (("batch_id", "string"), ("sink_id", "string"),
+                     ("log_date", "date"))
+
+
 def table_scan(spark: SparkSession, cfg: PipelineConfig,
-               ids: list[str]) -> DataFrame:
+               ids: list[str], predicates=None) -> DataFrame:
     """Scan exactly the batches in ``ids``, resolving each through the
     table's metadata layers: ids consolidated by ``compact_table`` come
     from the ``_consolidated`` generation (batch_id preserved as a DATA
@@ -54,11 +68,28 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     stats prune on), the rest from their per-batch dirs via the
     ``_FILES.json`` pointers.  A consolidated id's leftover per-batch
     dir (a retention copy awaiting expiry) is never read — the id set
-    partitions exactly."""
+    partitions exactly.
+
+    Two manifest-metadata layers ride the same resolution pass:
+
+    - **Data skipping**: ``predicates`` prune each manifest's file list
+      by its commit-time column bounds (and the consolidated generation
+      additionally by the wanted-id set against its ``batch_id``
+      bounds) BEFORE Spark lists or opens anything.  Bounds are
+      advisory — the scan may return a superset, and callers that need
+      exact results apply the predicate Spark-side (``scan_routed``).
+    - **Schema evolution**: when every scanned source carries a
+      manifest schema, the scan runs under their by-name MERGE, so a
+      column added by a newer writer reads as null from pre-evolution
+      batches — zero footer opens, unlike ``mergeSchema``.  Legacy
+      (manifest-less) sources keep today's uniform-schema read.
+    """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        CONSOLIDATED_DIR, read_file_manifest, read_table_manifest,
+        CONSOLIDATED_DIR, manifest_schema, merge_schemas,
+        prune_files_by_id_set, prune_manifest_files, read_file_manifest,
+        read_table_manifest,
     )
 
     root = os.path.join(cfg.output_path, "routed")
@@ -66,36 +97,89 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     cons_ids = set(tman["consolidated_ids"]) if tman else set()
     want_cons = [b for b in ids if b in cons_ids]
     want_dirs = [b for b in ids if b not in cons_ids]
+
+    # ---- resolve every source's manifest first: the schemas must merge
+    # across ALL scanned sources before any read is planned
+    live = os.path.join(root, CONSOLIDATED_DIR)
+    cons_man = read_file_manifest(live) if want_cons else None
+    if want_cons and cons_man is None and not os.path.isdir(live):
+        # consolidated data lost entirely — last resort: the ids'
+        # per-batch dirs may survive as retention copies
+        want_dirs = want_dirs + want_cons
+        want_cons = []
+    batch_mans = {
+        b: read_file_manifest(os.path.join(root, f"batch_id={b}"))
+        for b in want_dirs
+    }
+    schemas = []
+    all_schemed = True
+    if want_cons:
+        s = manifest_schema(cons_man)
+        all_schemed = s is not None
+        if s is not None:
+            schemas.append(s)
+    for b, man in batch_mans.items():
+        if man is None:
+            if os.path.isdir(os.path.join(root, f"batch_id={b}")):
+                all_schemed = False  # legacy dir contributes unknown shape
+            continue  # missing batch: contributes nothing
+        s = manifest_schema(man)
+        if s is not None:
+            schemas.append(s)
+        else:
+            all_schemed = False
+    merged = merge_schemas(schemas) if (all_schemed and schemas) else None
+
+    def _reader():
+        r = spark.read
+        return r.schema(merged) if merged is not None else r
+
     parts: list[DataFrame] = []
     if want_cons:
-        live = os.path.join(root, CONSOLIDATED_DIR)
-        man = read_file_manifest(live)
-        if man is not None:
-            src = [os.path.join(live, rel) for rel in man["files"]]
-        elif os.path.isdir(live):
-            # corrupt/missing consolidated manifest: degrade to the
+        if cons_man is not None:
+            rels = prune_files_by_id_set(cons_man, "batch_id", want_cons)
+            rels = prune_manifest_files(cons_man, predicates, files=rels)
+            src = [os.path.join(live, rel) for rel in rels]
+            # rels pruned to [] = the manifest PROVES no wanted rows
+            # here — contributes nothing, and that emptiness is exact
+        else:
+            # corrupt/unreadable consolidated manifest: degrade to the
             # directory listing (read_file_manifest's documented
             # fallback contract) rather than failing every table read;
             # correct whenever no generation flip is racing
             src = [live]
-        else:
-            src = []
         if src:
-            df = spark.read.option("basePath", live).parquet(*src)
+            df = _reader().option("basePath", live).parquet(*src)
             # ALWAYS filter to the requested ids: in the crash window
             # between a consolidation's manifest flip and its
             # _TABLE.json update the generation can cover MORE ids than
             # the pointer records, and an unfiltered scan would return
             # those rows on top of their still-present per-batch dirs
             parts.append(df.filter(F.col("batch_id").isin(want_cons)))
-        else:
-            # consolidated data lost entirely — last resort: the ids'
-            # per-batch dirs may survive as retention copies
-            want_dirs = want_dirs + want_cons
-    dir_paths = [p for b in want_dirs for p in resolve_batch_paths(root, b)]
+    dir_paths = []
+    for b in want_dirs:
+        man = batch_mans[b]
+        d = os.path.join(root, f"batch_id={b}")
+        if man is not None:
+            dir_paths += [os.path.join(d, rel)
+                          for rel in prune_manifest_files(man, predicates)]
+        elif os.path.isdir(d):
+            dir_paths.append(d)
     if dir_paths:
-        parts.append(spark.read.option("basePath", root).parquet(*dir_paths))
+        parts.append(_reader().option("basePath", root).parquet(*dir_paths))
     if not parts:
+        if merged is not None:
+            # every wanted source was manifest-resolved and pruning
+            # proved none holds a wanted row: an EMPTY result with the
+            # exact table schema, planned without touching storage
+            from pyspark.sql.types import StructType  # noqa: PLC0415
+
+            have = {f.name for f in merged.fields}
+            full = StructType(list(merged.fields))
+            for name, typ in _PARTITION_FIELDS:
+                if name not in have:
+                    full.add(name, typ)
+            return spark.createDataFrame([], full)
         # nothing resolved for the requested ids (e.g. consolidated data
         # AND the retention copies are both gone) — return the root scan
         # FILTERED to those ids: empty when the data is truly lost,
@@ -114,7 +198,7 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
 
 
 def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
-                      batch_id: str) -> DataFrame:
+                      batch_id: str, predicates=None) -> DataFrame:
     """The routed table as of (and including) ``batch_id`` — only
     batches committed up to that point are scanned (partition pruning by
     construction: later data is never listed, let alone read), each
@@ -130,7 +214,8 @@ def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
     ids = committed_batch_ids(cfg)
     if batch_id not in ids:
         raise ValueError(f"batch {batch_id!r} is not committed")
-    return table_scan(spark, cfg, ids[: ids.index(batch_id) + 1])
+    return table_scan(spark, cfg, ids[: ids.index(batch_id) + 1],
+                      predicates=predicates)
 
 
 from logfowd2_spark.ioutil import tree_num_files as _tree_num_files  # noqa: E402
@@ -279,8 +364,8 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     Returns {files_before, files_after, rows}.
     """
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        collect_file_stats, data_files, get_committer, manifest_swap,
-        stage_path,
+        collect_file_stats, data_files, get_committer, manifest_schema,
+        manifest_swap, read_file_manifest, stage_path,
     )
 
     import pyarrow.parquet as pq  # noqa: PLC0415
@@ -300,9 +385,14 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     # sides of the row-count guard would agree on the wrong number.
     # tree_num_rows/files are manifest-resolving, so a manifest-bearing
     # batch dir answers from commit-time stats with zero footer opens.
+    # The manifest-carried schema (when present) pins the read so the
+    # rewrite round-trips the batch's exact column set, and rides the
+    # swap into the new generation's manifest.
     paths = resolve_batch_paths(root, batch_id) or [batch_dir]
     files_before = _tree_num_files(batch_dir)
-    df = spark.read.option("basePath", batch_dir).parquet(*paths)
+    sch = manifest_schema(read_file_manifest(batch_dir))
+    rd = spark.read.schema(sch) if sch is not None else spark.read
+    df = rd.option("basePath", batch_dir).parquet(*paths)
     (
         df.hint("rebalance", "sink_id")
         .write.mode("overwrite")
@@ -327,9 +417,11 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     # vacuum_retention_s > 0 defers the old generation's removal to the
     # vacuum_expired maintenance pass (snapshot expiry), so a reader
     # that resolved the pre-swap manifest survives flip AND vacuum
+    data_schema = df.drop("sink_id", "log_date").schema
     manifest_swap(committer, batch_dir, tmp, stats=new_stats,
                   vacuum=cfg.vacuum_retention_s <= 0,
-                  retain_previous=cfg.vacuum_retention_s > 0)
+                  retain_previous=cfg.vacuum_retention_s > 0,
+                  extra={"schema": data_schema.jsonValue()})
     return {
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),
@@ -459,7 +551,37 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     rows_before = sum(
         _tree_num_rows(os.path.join(root, f"batch_id={b}")) for b in new_ids
     )
-    df = spark.read.option("basePath", root).parquet(*src_paths)
+    # SCHEMA-SAFE consolidation: read under the by-name merge of the
+    # source batches' manifest schemas, so a column added by a newer
+    # writer survives the rewrite (a plain multi-path read takes ONE
+    # file's footer schema and would silently drop evolved columns).
+    # Legacy (schema-less) sources fall back to distributed footer
+    # merging — slower but equally loss-proof.
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        manifest_schema, merge_schemas,
+    )
+
+    src_schemas = [
+        manifest_schema(read_file_manifest(os.path.join(
+            root, f"batch_id={b}"))) for b in new_ids
+    ]
+    if all(s is not None for s in src_schemas):
+        rd = spark.read.schema(merge_schemas(src_schemas))
+    else:
+        rd = spark.read.option("mergeSchema", "true")
+    df = rd.option("basePath", root).parquet(*src_paths)
+    # the flipped manifest's schema must also cover the PREVIOUS
+    # consolidated generation's files (keep_prev_files re-lists them):
+    # merge it in up front — a type conflict aborts loudly BEFORE the
+    # rewrite runs, never after a half-committed flip
+    new_data_schema = df.drop("sink_id", "log_date").schema
+    prev_s = manifest_schema(man_c)
+    if man_c is None:
+        rec_schema = new_data_schema
+    elif prev_s is not None:
+        rec_schema = merge_schemas([prev_s, new_data_schema])
+    else:
+        rec_schema = None  # legacy consolidated gen: stay schema-less
     (
         df.hint("rebalance", "sink_id")
         .write.mode("overwrite")
@@ -478,10 +600,11 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     # the flip carries the CUMULATIVE covered-id list ("consolidates"),
     # making it the phase-1 commit record the recovery block above
     # resolves a crashed phase 2 from
+    extra = {"consolidates": tman["consolidated_ids"] + new_ids}
+    if rec_schema is not None:
+        extra["schema"] = rec_schema.jsonValue()
     manifest_swap(committer, live, stage, stats=new_stats,
-                  keep_prev_files=True,
-                  extra={"consolidates":
-                         tman["consolidated_ids"] + new_ids})
+                  keep_prev_files=True, extra=extra)
     now = _time.time()
     write_table_manifest(committer, root, {
         "version": 1,
