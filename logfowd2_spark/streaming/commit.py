@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 OLD_PREFIX = "_old_"
@@ -473,6 +474,12 @@ def collect_file_stats(root: str, files: list[str]) -> dict[str, dict]:
                 st = c.statistics
                 lo = _encode_bound(st.min) if st and st.has_min_max else None
                 hi = _encode_bound(st.max) if st and st.has_min_max else None
+                # NaN min/max (floats): unusable — min()/max() folding
+                # across row groups is undefined under NaN ordering
+                if isinstance(lo, float) and lo != lo:
+                    lo = None
+                if isinstance(hi, float) and hi != hi:
+                    hi = None
                 if lo is None or hi is None:
                     dropped.add(name)
                     cols.pop(name, None)
@@ -496,7 +503,12 @@ def _bound_excludes(lo, hi, op: str, val) -> bool:
     """True when a file whose column spans ``[lo, hi]`` provably holds
     NO row satisfying ``col <op> val``.  Incomparable domains (numeric
     bound vs string value or vice versa) never exclude — pruning must
-    only ever drop files it can PROVE empty for the predicate."""
+    only ever drop files it can PROVE empty for the predicate.  NaN
+    anywhere also never excludes: parquet min/max ignore NaN rows, and
+    Spark orders NaN ABOVE every value, so [1, 5] bounds say nothing
+    about ``col > 10`` when the file may hold NaNs."""
+    if any(isinstance(x, float) and x != x for x in (lo, hi, val)):
+        return False
     num_b = isinstance(lo, (int, float)) and not isinstance(lo, bool)
     num_v = isinstance(val, (int, float)) and not isinstance(val, bool)
     if num_b != num_v:
@@ -514,13 +526,73 @@ def _bound_excludes(lo, hi, op: str, val) -> bool:
     return False
 
 
+#: Hive/Spark sentinel directory value for a null partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}$")
+
+
+def _path_partition_values(rel: str) -> dict[str, str]:
+    """``col -> raw value`` from the ``col=value`` path segments of a
+    manifest-relative data-file path (Spark's partition-dir layout) —
+    the partition half of manifest pruning: partition columns are never
+    IN the data files (the writer drops them), so their only
+    manifest-visible trace is the path.  Values carrying escape
+    sequences (Spark %XX-escapes special chars on write) or the Hive
+    null sentinel are omitted: absent = never pruned, never wrong."""
+    out: dict[str, str] = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if "%" not in v and v != _HIVE_NULL:
+                out[k] = v
+    return out
+
+
+def _partition_bound(raw: str, val):
+    """``raw`` (a path partition value) re-expressed in the encoded
+    domain of predicate value ``val`` so ``_bound_excludes`` can compare
+    them — or None when the domains can't be PROVABLY aligned.  The
+    predicate value's python type is the authority for the column type
+    (matching how Spark would coerce the partition value):
+
+    - numeric ``val``: the path value must parse as a number;
+    - datetime ``val``: a date-shaped path value means every row holds
+      that DATE, which Spark compares to a timestamp by casting to
+      midnight — so the aligned bound IS the midnight instant (exact,
+      not conservative);
+    - date/str ``val``: the raw string (ISO date order == lexicographic;
+      Spark string comparison is binary, same as python's)."""
+    import datetime  # noqa: PLC0415
+
+    if isinstance(val, bool) or val is None:
+        return None
+    if isinstance(val, (int, float)):
+        try:
+            return float(raw) if isinstance(val, float) else int(raw)
+        except ValueError:
+            return None
+    if isinstance(val, datetime.datetime):
+        if _DATE_RE.match(raw):
+            return raw + "T00:00:00.000000"
+        return None
+    if isinstance(val, datetime.date):
+        return raw if _DATE_RE.match(raw) else None
+    if isinstance(val, str):
+        return raw
+    return None
+
+
 def prune_manifest_files(man: dict, predicates,
                          files: list[str] | None = None) -> list[str]:
     """The subset of ``man["files"]`` (or the ``files`` subset of it)
     that may hold rows satisfying ALL of ``predicates``
     (``[(col, op, value), ...]``, op one of ``== >= > <= <``) —
-    manifest-only data skipping.  Files without bounds for a
-    predicate's column are kept (bounds are advisory: pruning is an
+    manifest-only data skipping.  Two bound sources serve each
+    predicate: the commit-time column statistics (``stats[f]["cols"]``)
+    and, for partition columns that exist only as ``col=value`` path
+    segments, the path value itself as an exact [v, v] bound.  Files
+    without either are kept (bounds are advisory: pruning is an
     optimization, never a filter — callers still apply the exact
     predicate Spark-side)."""
     files = list(man.get("files", [])) if files is None else list(files)
@@ -531,13 +603,17 @@ def prune_manifest_files(man: dict, predicates,
         if op not in _PRUNE_OPS:
             raise ValueError(
                 f"unsupported prune op {op!r}; one of {_PRUNE_OPS}")
-        enc.append((col, op, _encode_bound(val)))
+        enc.append((col, op, _encode_bound(val), val))
     stats = man.get("stats") or {}
     kept = []
     for f in files:
         cols = (stats.get(f) or {}).get("cols") or {}
-        for col, op, val in enc:
+        pvals = _path_partition_values(f)
+        for col, op, val, raw_val in enc:
             b = cols.get(col)
+            if b is None and col in pvals:
+                pv = _partition_bound(pvals[col], raw_val)
+                b = [pv, pv] if pv is not None else None
             if val is None or b is None:
                 continue
             if _bound_excludes(b[0], b[1], op, val):

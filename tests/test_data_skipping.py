@@ -137,6 +137,74 @@ def test_prune_manifest_files_synthetic():
         man2["files"]
 
 
+def test_bound_excludes_nan_never_prunes():
+    # Spark orders NaN above every value; parquet min/max ignore NaN
+    # rows — bounds say NOTHING about NaN presence, so no exclusion
+    nan = float("nan")
+    assert not _bound_excludes(1.0, 5.0, ">", nan)
+    assert not _bound_excludes(nan, 5.0, "<", 0.0)
+    assert not _bound_excludes(1.0, nan, ">", 10.0)
+    assert not _bound_excludes(nan, nan, "==", 3.0)
+
+
+def test_prune_by_path_partition_values():
+    from logfowd2_spark.streaming.commit import (
+        _partition_bound, _path_partition_values,
+    )
+
+    rel = "sink_id=app-a/log_date=2026-01-05/part-0.parquet"
+    assert _path_partition_values(rel) == {
+        "sink_id": "app-a", "log_date": "2026-01-05"}
+    # escaped values and the Hive null sentinel are never trusted
+    assert _path_partition_values(
+        "sink_id=a%3Ab/f.parquet") == {}
+    assert _path_partition_values(
+        "log_date=__HIVE_DEFAULT_PARTITION__/f.parquet") == {}
+    # the file's own basename never contributes (only dir segments)
+    assert _path_partition_values("k=v.parquet") == {}
+
+    # domain alignment: predicate value's type is the authority
+    assert _partition_bound("7", 5) == 7
+    assert _partition_bound("7.5", 1.0) == 7.5
+    assert _partition_bound("x", 5) is None
+    assert _partition_bound("2026-01-05", datetime.date(2026, 1, 5)) == \
+        "2026-01-05"
+    # date partition vs datetime predicate: Spark casts the date to
+    # MIDNIGHT — the aligned bound is that exact instant
+    assert _partition_bound(
+        "2026-01-05", datetime.datetime(2026, 1, 5)) == \
+        "2026-01-05T00:00:00.000000"
+    assert _partition_bound("notadate", datetime.date(2026, 1, 5)) is None
+    assert _partition_bound("s", True) is None
+
+    man = {
+        "files": [
+            "sink_id=app-a/log_date=2026-01-01/p0.parquet",
+            "sink_id=app-b/log_date=2026-01-02/p0.parquet",
+            "sink_id=app-b/log_date=2026-01-03/p0.parquet",
+        ],
+        "stats": {},  # partition columns live only in the paths
+    }
+    assert prune_manifest_files(man, [("sink_id", "==", "app-b")]) == \
+        man["files"][1:]
+    assert prune_manifest_files(
+        man, [("log_date", ">=", datetime.date(2026, 1, 2))]) == \
+        man["files"][1:]
+    assert prune_manifest_files(
+        man, [("log_date", "<", datetime.date(2026, 1, 2)),
+              ("sink_id", "==", "app-a")]) == man["files"][:1]
+    # datetime predicate against the date partition: midnight-exact —
+    # ``<= midnight of day 2`` keeps day 2 (cast equality), drops day 3
+    assert prune_manifest_files(
+        man, [("log_date", "<=", datetime.datetime(2026, 1, 2))]) == \
+        man["files"][:2]
+    # data-file stats (when present) take precedence over path values
+    man["stats"] = {man["files"][0]: {
+        "rows": 1, "bytes": 1, "cols": {"sink_id": ["app-a", "app-z"]}}}
+    assert prune_manifest_files(man, [("sink_id", "==", "app-x")]) == \
+        man["files"][:1]
+
+
 def test_merge_schemas_add_column_and_conflict():
     s1 = StructType([StructField("a", StringType(), False),
                      StructField("b", LongType())])
@@ -260,6 +328,32 @@ def test_pruned_to_empty_plans_without_storage(spark, piped):
     assert df.count() == 0
     assert ioutil.FOOTER_OPENS == 0
     assert set(df.columns) == set(read_routed(spark, cfg).columns)
+
+
+def test_scan_routed_prunes_by_partition_path(spark, piped):
+    """Predicates on partition columns (present only as ``col=value``
+    path segments, never in the data files) prune from the manifests'
+    file paths alone: a sink_id equality scan lists ONLY that sink's
+    files, with zero footer opens, and matches the unpruned filter."""
+    _, _, cfg = piped
+    sinks = sorted(
+        r["sink_id"] for r in read_routed(spark, cfg)
+        .select("sink_id").distinct().collect())
+    assert len(sinks) >= 2, "need multiple sinks to observe pruning"
+    target = sinks[0]
+
+    ioutil.reset_footer_opens()
+    df = scan_routed(spark, cfg, [("sink_id", "==", target)])
+    read_files = df.inputFiles()
+    assert ioutil.FOOTER_OPENS == 0
+    assert read_files and all(
+        f"/sink_id={target}/" in p for p in read_files)
+
+    expect = (read_routed(spark, cfg)
+              .filter(F.col("sink_id") == target)
+              .orderBy("doc_id").collect())
+    got = df.orderBy("doc_id").collect()
+    assert len(got) == len(expect) > 0 and got == expect
 
 
 def test_as_of_prunes_consolidated_generation_by_batch_id(
