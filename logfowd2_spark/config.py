@@ -115,6 +115,31 @@ class PipelineConfig:
     # std-dev at k=128 is <= 0.088)
     dedup_est_threshold: float = 0.5
 
+    # --- manifest membership metadata (streaming/commit.py).  Columns
+    # listed here get per-file MEMBERSHIP entries in every commit's
+    # _FILES.json on top of the always-on min/max bounds: the exact
+    # distinct-value set when tiny, else a small (<= 4 KiB) bloom
+    # filter.  Point lookups on these columns (pod_name == X) then
+    # prune from the manifests alone down to the files that may hold
+    # the key — min/max cannot do that for a scattered high-cardinality
+    # key, and in a log table such keys have strong temporal locality.
+    # Cost: one columnar read-back of these columns per committed file
+    # (commit-time, pages still hot).  () disables the tier.
+    stats_detail_cols: tuple = ("pod_name", "namespace")
+
+    # --- sort-order compaction (streaming/maintenance.py).  When
+    # non-empty, compaction rewrites range-partition + sort each output
+    # partition on (sink_id, log_date, *these columns) instead of the
+    # default hash rebalance — Iceberg's sort-order rewrite: each
+    # rewritten file then covers a NARROW slice of the cluster columns'
+    # domain, so the manifest min/max bounds (and membership sets)
+    # recorded at the flip prune point lookups to ~one file per
+    # partition instead of every file.  Ingest keeps arrival order (the
+    # extra shuffle doesn't belong on the hot path); clustering is the
+    # compactor's job, exactly as in Iceberg/Delta.  () = keep the
+    # rebalance layout.
+    compact_cluster_cols: tuple = ()
+
     # --- snapshot-retention window for compaction swaps (seconds).
     # 0 = vacuum the superseded generation at the flip (single-writer
     # local default, keeps exactly one generation on disk); > 0 = the
@@ -161,6 +186,13 @@ class PipelineConfig:
             raise ValueError("dlq_max_size must be > 0")
         if self.vacuum_retention_s < 0:
             raise ValueError("vacuum_retention_s must be >= 0")
+        if not all(isinstance(c, str) and c for c in self.stats_detail_cols):
+            raise ValueError("stats_detail_cols must be non-empty "
+                             "column names")
+        if not all(isinstance(c, str) and c
+                   for c in self.compact_cluster_cols):
+            raise ValueError("compact_cluster_cols must be non-empty "
+                             "column names")
         if not 0.0 < self.dedup_est_threshold <= 1.0:
             raise ValueError("dedup_est_threshold must be in (0, 1]")
         if self.sink_fault_sink is not None and self.sink_fault_until_retry < 1:

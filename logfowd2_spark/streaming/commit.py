@@ -441,59 +441,295 @@ def _encode_bound(v):
     return None
 
 
-def collect_file_stats(root: str, files: list[str]) -> dict[str, dict]:
-    """Per-file ``{"rows", "bytes", "cols"}`` from the parquet footers —
-    run ONCE at commit time over the just-written files, so every later
-    metadata consumer reads the manifest instead of the footers.
+def _type_tag(v) -> str | None:
+    """Domain tag of a python value in the encoded-bound space:
+    ``i``/``f`` numeric, ``s`` string, ``d`` date, ``t`` timestamp —
+    None for values we never prune on.  ``datetime`` is checked before
+    ``date`` (subclass)."""
+    import datetime  # noqa: PLC0415
 
-    ``cols`` maps each flat primitive column to its ``[min, max]``
-    bounds aggregated across the file's row groups (the manifest-level
-    column statistics Iceberg carries for scan planning): a reader with
-    a predicate prunes files from the manifest ALONE — zero footer
-    opens, zero file listings of irrelevant data — which at a 100 TB
-    table is the difference between planning from a few KB of JSON and
-    opening 10⁶ footers.  A column is dropped from ``cols`` the moment
-    any row group lacks usable stats (all-null chunk, unencodable type,
-    over-long string): absent bounds are never wrong, only unprunable.
-    """
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, datetime.datetime):
+        return "t"
+    if isinstance(v, datetime.date):
+        return "d"
+    return None
+
+
+def _arrow_type_tag(typ) -> str | None:
+    """The ``_type_tag`` domain of an arrow field type."""
+    import pyarrow as pa  # noqa: PLC0415
+
+    if pa.types.is_boolean(typ):
+        return None
+    if pa.types.is_integer(typ):
+        return "i"
+    if pa.types.is_floating(typ):
+        return "f"
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "s"
+    if pa.types.is_timestamp(typ):
+        return "t"
+    if pa.types.is_date(typ):
+        return "d"
+    return None
+
+
+_MIDNIGHT_SUFFIX = "T00:00:00.000000"
+
+
+def _align_domains(lo, hi, btag: str | None, val, vtag: str | None):
+    """``(lo', hi', val')`` re-expressed in ONE comparable domain, or
+    None when the pair can't be PROVABLY aligned (then no pruning).
+
+    The date/timestamp cross is the interesting case: Spark compares a
+    DATE column to a TIMESTAMP value by casting the date to its
+    midnight instant, so date bounds (fixed-width ISO days) must be
+    suffixed to midnight instants before comparing against an encoded
+    timestamp — without this a midnight-equality predicate FALSELY
+    excludes the file holding exactly that day.  Legacy manifests
+    (bounds without a tag, ``btag`` None) only support same-shape
+    compares: numeric-vs-numeric and string-vs-string; every
+    date/timestamp predicate against them is no-prune."""
+    if btag is None:  # legacy 2-element bounds: shape-matched only
+        num_b = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+        if num_b and vtag in ("i", "f"):
+            return lo, hi, val
+        if isinstance(lo, str) and vtag == "s":
+            return lo, hi, val
+        return None
+    if btag == vtag or {btag, vtag} <= {"i", "f"}:
+        return lo, hi, val
+    if btag == "d" and vtag == "t":
+        # every row of a date column casts to its midnight instant
+        return lo + _MIDNIGHT_SUFFIX, hi + _MIDNIGHT_SUFFIX, val
+    if btag == "t" and vtag == "d":
+        # a date literal promotes to its midnight timestamp
+        return lo, hi, val + _MIDNIGHT_SUFFIX
+    return None
+
+
+# --- membership metadata: per-file value sets and bloom filters -----------
+#
+# min/max bounds cannot prune a point lookup on a scattered
+# high-cardinality key (every file's [min, max] spans the probe).  For
+# the columns in ``detail_cols`` the commit also records MEMBERSHIP
+# metadata per file: the exact distinct-value set when tiny, else a
+# small bloom filter — so a needle query (pod_name == X, doc_id == Y)
+# prunes from the manifest alone down to the files that may really
+# hold the key.  In a log table keys have strong temporal locality (a
+# pod exists for hours, not the table's lifetime), so this turns a
+# 10⁶-file scan into the handful of batches the pod was alive in.
+
+#: distinct values <= this → exact value set (prunes every op)
+MEMB_SET_CAP = 16
+#: distinct values <= this → bloom filter (prunes ==); beyond it the
+#: column gets no membership entry (absent = never pruned, never wrong)
+BLOOM_MAX_DISTINCT = 4096
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BITS = 64
+#: hard per-column-per-file ceiling (4 KiB of bits, ~5.5 KiB b64) so a
+#: 10⁶-file table's manifests stay driver-readable JSON
+BLOOM_MAX_BITS = 32_768
+BLOOM_K = 7
+
+
+def _bloom_key(v, tag: str) -> bytes:
+    """Canonical, type-prefixed hash input for one value — identical at
+    build (file column values) and probe (predicate literal) time, the
+    invariant that makes bloom false negatives impossible."""
+    if tag == "i":
+        body = str(int(v))
+    elif tag in ("d", "t"):
+        body = _encode_bound(v)  # UTC-normalized fixed-width ISO
+    else:
+        body = v
+    return tag.encode() + b"\x00" + body.encode("utf-8")
+
+
+def _bloom_hashes(key: bytes, m_bits: int):
+    """``BLOOM_K`` bit indexes via double hashing of one blake2b-64."""
+    import hashlib  # noqa: PLC0415
+
+    h = int.from_bytes(hashlib.blake2b(key, digest_size=8).digest(), "big")
+    h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
+    mask = m_bits - 1  # m_bits is a power of two
+    return [(h1 + i * h2) & mask for i in range(BLOOM_K)]
+
+
+def _membership_entry(values, tag: str | None) -> dict | None:
+    """The manifest membership entry for one file's column: ``{"t",
+    "set"}`` (exact distinct values, encoded) when tiny, ``{"t", "k",
+    "b64"}`` (bloom) when moderate, None when high-cardinality or the
+    domain isn't hashable."""
+    import base64  # noqa: PLC0415
+
+    if tag is None or tag == "f" or not values:
+        return None  # float equality pruning is a footgun; skip
+    if len(values) <= MEMB_SET_CAP:
+        enc = [_encode_bound(v) for v in values]
+        if all(e is not None for e in enc):
+            return {"t": tag, "set": sorted(enc)}
+        # over-long strings etc.: fall through to the bloom tier
+    if len(values) > BLOOM_MAX_DISTINCT:
+        return None
+    m = BLOOM_MIN_BITS
+    while m < len(values) * BLOOM_BITS_PER_KEY and m < BLOOM_MAX_BITS:
+        m *= 2
+    bits = bytearray(m // 8)
+    for v in values:
+        for idx in _bloom_hashes(_bloom_key(v, tag), m):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"t": tag, "k": BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _membership_excludes(ent: dict, op: str, raw_val) -> bool:
+    """True when the membership entry PROVES no row satisfies
+    ``col <op> raw_val``.  A value set serves every op (the file's
+    column holds exactly these values); a bloom serves ``==`` only, and
+    only on an exact domain-tag match."""
+    import base64  # noqa: PLC0415
+
+    vtag = _type_tag(raw_val)
+    if vtag is None:
+        return False
+    btag = ent.get("t")
+    if "set" in ent:
+        val = _encode_bound(raw_val)
+        if val is None:
+            return False
+        for member in ent["set"]:
+            a = _align_domains(member, member, btag, val, vtag)
+            if a is None or not _bound_excludes(a[0], a[1], op, a[2]):
+                return False  # some member may satisfy the predicate
+        return True
+    if op != "==" or btag != vtag:
+        return False
+    bits = base64.b64decode(ent["b64"])
+    m = len(bits) * 8
+    for idx in _bloom_hashes(_bloom_key(raw_val, vtag), m):
+        if not bits[idx >> 3] & (1 << (idx & 7)):
+            return True  # definitely absent
+    return False  # maybe present
+
+
+def _file_stats_one(full: str, detail_cols: tuple) -> dict:
+    """The ``collect_file_stats`` entry for ONE parquet file — a pure
+    module-level function so the distributed path can ship it to
+    executors by reference (the package travels via --py-files /
+    PYTHONPATH, never by value)."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
-    out: dict[str, dict] = {}
-    for rel in files:
-        full = os.path.join(root, rel)
-        md = pq.ParquetFile(full).metadata
-        cols: dict[str, list] = {}
-        dropped: set[str] = set()
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                c = g.column(ci)
-                name = c.path_in_schema
-                if "." in name or name in dropped:
-                    continue  # nested leaves: no file-level column bound
-                st = c.statistics
-                lo = _encode_bound(st.min) if st and st.has_min_max else None
-                hi = _encode_bound(st.max) if st and st.has_min_max else None
-                # NaN min/max (floats): unusable — min()/max() folding
-                # across row groups is undefined under NaN ordering
-                if isinstance(lo, float) and lo != lo:
-                    lo = None
-                if isinstance(hi, float) and hi != hi:
-                    hi = None
-                if lo is None or hi is None:
-                    dropped.add(name)
-                    cols.pop(name, None)
-                    continue
-                if name in cols:
-                    cols[name] = [min(cols[name][0], lo),
-                                  max(cols[name][1], hi)]
-                else:
-                    cols[name] = [lo, hi]
-        ent: dict = {"rows": md.num_rows, "bytes": os.path.getsize(full)}
-        if cols:
-            ent["cols"] = cols
-        out[rel] = ent
-    return out
+    pf = pq.ParquetFile(full)
+    md = pf.metadata
+    tags = {f.name: _arrow_type_tag(f.type) for f in pf.schema_arrow}
+    cols: dict[str, list] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name or name in dropped:
+                continue  # nested leaves: no file-level column bound
+            st = c.statistics
+            lo = _encode_bound(st.min) if st and st.has_min_max else None
+            hi = _encode_bound(st.max) if st and st.has_min_max else None
+            # NaN min/max (floats): unusable — min()/max() folding
+            # across row groups is undefined under NaN ordering
+            if isinstance(lo, float) and lo != lo:
+                lo = None
+            if isinstance(hi, float) and hi != hi:
+                hi = None
+            if lo is None or hi is None:
+                dropped.add(name)
+                cols.pop(name, None)
+                continue
+            if name in cols:
+                cols[name][0] = min(cols[name][0], lo)
+                cols[name][1] = max(cols[name][1], hi)
+            else:
+                cols[name] = [lo, hi, tags.get(name)]
+    ent: dict = {"rows": md.num_rows, "bytes": os.path.getsize(full)}
+    if cols:
+        ent["cols"] = cols
+    want = [c for c in detail_cols
+            if tags.get(c) not in (None, "f") and md.num_rows > 0]
+    if want:
+        memb: dict[str, dict] = {}
+        tbl = pf.read(columns=want)
+        for c in want:
+            vals = tbl.column(c).drop_null().unique().to_pylist()
+            m = _membership_entry(vals, tags[c])
+            if m is not None:
+                memb[c] = m
+        if memb:
+            ent["memb"] = memb
+    return ent
+
+
+#: commits below this file count stay on the driver — a task-scheduling
+#: round trip costs more than reading a handful of local footers
+DISTRIBUTED_STATS_MIN_FILES = 64
+
+
+def collect_file_stats(root: str, files: list[str],
+                       detail_cols=(), spark=None) -> dict[str, dict]:
+    """Per-file ``{"rows", "bytes", "cols"[, "memb"]}`` from the parquet
+    footers — run ONCE at commit time over the just-written files, so
+    every later metadata consumer reads the manifest instead of the
+    footers.
+
+    ``cols`` maps each flat primitive column to its ``[min, max, tag]``
+    bounds aggregated across the file's row groups (the manifest-level
+    column statistics Iceberg carries for scan planning; ``tag`` is the
+    ``_type_tag`` domain the bounds live in): a reader with a predicate
+    prunes files from the manifest ALONE — zero footer opens, zero file
+    listings of irrelevant data — which at a 100 TB table is the
+    difference between planning from a few KB of JSON and opening 10⁶
+    footers.  A column is dropped from ``cols`` the moment any row
+    group lacks usable stats (all-null chunk, unencodable type,
+    over-long string): absent bounds are never wrong, only unprunable.
+
+    ``detail_cols`` names columns that additionally get MEMBERSHIP
+    metadata (``memb``: exact value set or bloom filter, see above) —
+    this tier reads the named columns' values back (one columnar read
+    per file, at commit time, of data just written and still in page
+    cache), so it is opt-in per table (``PipelineConfig.
+    stats_detail_cols``).
+
+    When ``spark`` is given and the commit is large (>=
+    ``DISTRIBUTED_STATS_MIN_FILES`` files), the per-file work runs ON
+    THE EXECUTORS — one map task per slice of files, results collected
+    as the (small) stats dicts — so commit-time metadata cost scales
+    with the cluster instead of serializing on the driver: a 10⁶-file
+    consolidation's footer+membership pass is minutes of parallel I/O,
+    not hours of driver I/O.  Requires the files to be reachable from
+    the executors (object store / shared FS in production; trivially
+    true on local[N]).  Small commits stay on the driver — the common
+    micro-batch writes O(cores) files and a task round-trip would cost
+    more than it saves."""
+    dcols = tuple(detail_cols)
+    if spark is not None and len(files) >= DISTRIBUTED_STATS_MIN_FILES:
+        sc = spark.sparkContext
+        n = min(len(files), sc.defaultParallelism * 2)
+        pairs = (
+            sc.parallelize([os.path.join(root, rel) for rel in files], n)
+            .map(lambda full: (full, _file_stats_one(full, dcols)))
+            .collect()
+        )
+        by_full = dict(pairs)
+        return {rel: by_full[os.path.join(root, rel)] for rel in files}
+    return {rel: _file_stats_one(os.path.join(root, rel), dcols)
+            for rel in files}
 
 
 _PRUNE_OPS = ("==", ">=", ">", "<=", "<")
@@ -603,41 +839,58 @@ def prune_manifest_files(man: dict, predicates,
         if op not in _PRUNE_OPS:
             raise ValueError(
                 f"unsupported prune op {op!r}; one of {_PRUNE_OPS}")
-        enc.append((col, op, _encode_bound(val), val))
+        enc.append((col, op, _encode_bound(val), val, _type_tag(val)))
     stats = man.get("stats") or {}
     kept = []
     for f in files:
-        cols = (stats.get(f) or {}).get("cols") or {}
+        st = stats.get(f) or {}
+        cols = st.get("cols") or {}
+        memb = st.get("memb") or {}
         pvals = _path_partition_values(f)
-        for col, op, val, raw_val in enc:
+        for col, op, val, raw_val, vtag in enc:
             b = cols.get(col)
-            if b is None and col in pvals:
-                pv = _partition_bound(pvals[col], raw_val)
-                b = [pv, pv] if pv is not None else None
-            if val is None or b is None:
-                continue
-            if _bound_excludes(b[0], b[1], op, val):
+            if b is not None and val is not None:
+                btag = b[2] if len(b) > 2 else None
+                a = _align_domains(b[0], b[1], btag, val, vtag)
+                if a is not None and _bound_excludes(a[0], a[1], op, a[2]):
+                    break
+            if col in memb and _membership_excludes(memb[col], op, raw_val):
                 break
+            if b is None and val is not None and col in pvals:
+                pv = _partition_bound(pvals[col], raw_val)
+                if pv is not None and _bound_excludes(pv, pv, op, val):
+                    break
         else:
             kept.append(f)
     return kept
 
 
 def prune_files_by_id_set(man: dict, col: str, ids) -> list[str]:
-    """Files whose ``col`` bounds may contain ANY of ``ids`` — the
-    IN-predicate shape of manifest pruning (an as-of read over the
-    consolidated generation prunes its files by batch_id bounds here
-    before Spark ever lists them)."""
-    enc = [_encode_bound(i) for i in ids]
-    if any(e is None for e in enc):
+    """Files whose ``col`` metadata (min/max bounds and, when present,
+    membership set/bloom) may contain ANY of ``ids`` — the IN-predicate
+    shape of manifest pruning (an as-of read over the consolidated
+    generation prunes its files by batch_id bounds here before Spark
+    ever lists them)."""
+    trip = [(_encode_bound(i), i, _type_tag(i)) for i in ids]
+    if any(e is None for e, _, _ in trip):
         return list(man.get("files", []))
     stats = man.get("stats") or {}
     kept = []
     for f in man.get("files", []):
-        b = ((stats.get(f) or {}).get("cols") or {}).get(col)
-        if b is None or any(
-            not _bound_excludes(b[0], b[1], "==", v) for v in enc
-        ):
+        st = stats.get(f) or {}
+        b = (st.get("cols") or {}).get(col)
+        ment = (st.get("memb") or {}).get(col)
+
+        def may_hold(v, raw, vtag, b=b, ment=ment):
+            if b is not None:
+                btag = b[2] if len(b) > 2 else None
+                a = _align_domains(b[0], b[1], btag, v, vtag)
+                if a is not None and _bound_excludes(a[0], a[1], "==", a[2]):
+                    return False
+            return ment is None or not _membership_excludes(ment, "==", raw)
+
+        if (b is None and ment is None) or any(
+                may_hold(*t) for t in trip):
             kept.append(f)
     return kept
 

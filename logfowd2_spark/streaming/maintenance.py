@@ -345,6 +345,34 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+def _rewrite_layout(df, cfg: PipelineConfig, rows: int,
+                    target_records_per_file: int):
+    """The compaction rewrite's physical layout.
+
+    Default: AQE hash-REBALANCE on sink_id (runtime split-sizing +
+    hot-sink salting) — arrival order within each sink is preserved,
+    which keeps the natural ts clustering of log data.
+
+    With ``cfg.compact_cluster_cols``: a RANGE partition + in-partition
+    sort on (sink_id, log_date, *cluster_cols) — Iceberg's sort-order
+    rewrite.  Range partitioning gives each shuffle partition (hence
+    each written file, under partitionBy) a DISJOINT slice of the
+    cluster columns' domain, so the manifest bounds/membership recorded
+    at the flip turn a point lookup on a scattered key (pod_name == X)
+    into ~one file per partition.  The partition count is sized from
+    the verified source row count so files land near
+    ``target_records_per_file`` even where AQE can't see (range
+    shuffles aren't AQE-coalesced when a sort rides on them)."""
+    if not cfg.compact_cluster_cols:
+        return df.hint("rebalance", "sink_id")
+    import math  # noqa: PLC0415
+
+    n = max(df.sparkSession.sparkContext.defaultParallelism,
+            math.ceil(rows / max(1, target_records_per_file)))
+    keys = ["sink_id", "log_date", *cfg.compact_cluster_cols]
+    return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+
+
 def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
                   target_records_per_file: int = 1_000_000) -> dict:
     """Compact one committed batch dir to ~target-sized files.
@@ -393,21 +421,23 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     sch = manifest_schema(read_file_manifest(batch_dir))
     rd = spark.read.schema(sch) if sch is not None else spark.read
     df = rd.option("basePath", batch_dir).parquet(*paths)
+    if paths == [batch_dir]:
+        rows_before = _tree_num_rows(batch_dir)
+    else:
+        rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
     (
-        df.hint("rebalance", "sink_id")
+        _rewrite_layout(df, cfg, rows_before, target_records_per_file)
         .write.mode("overwrite")
         .partitionBy("sink_id", "log_date")
         .option("maxRecordsPerFile", str(target_records_per_file))
         .parquet(tmp)
     )
-    if paths == [batch_dir]:
-        rows_before = _tree_num_rows(batch_dir)
-    else:
-        rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
     # ONE footer pass over the fresh generation serves both the verify
     # guard and the swapped-in manifest's stats
     new_files = data_files(tmp)
-    new_stats = collect_file_stats(tmp, new_files)
+    new_stats = collect_file_stats(tmp, new_files,
+                                   detail_cols=cfg.stats_detail_cols,
+                                   spark=spark)
     rows_after = sum(s["rows"] for s in new_stats.values())
     if rows_before != rows_after:  # never swap a lossy rewrite
         shutil.rmtree(tmp, ignore_errors=True)
@@ -583,14 +613,16 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     else:
         rec_schema = None  # legacy consolidated gen: stay schema-less
     (
-        df.hint("rebalance", "sink_id")
+        _rewrite_layout(df, cfg, rows_before, target_records_per_file)
         .write.mode("overwrite")
         .partitionBy("sink_id", "log_date")
         .option("maxRecordsPerFile", str(target_records_per_file))
         .parquet(stage)
     )
     new_files = data_files(stage)
-    new_stats = collect_file_stats(stage, new_files)
+    new_stats = collect_file_stats(stage, new_files,
+                                   detail_cols=cfg.stats_detail_cols,
+                                   spark=spark)
     rows_after = sum(s["rows"] for s in new_stats.values())
     if rows_before != rows_after:  # never flip a lossy rewrite
         shutil.rmtree(stage, ignore_errors=True)

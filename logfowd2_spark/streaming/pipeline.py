@@ -314,7 +314,9 @@ def execute_unified_batch(
 
     committer = get_committer(cfg.commit_protocol)
     files_all = data_files(out_dir)  # still includes sink_id=__dlq__/...
-    stats_all = collect_file_stats(out_dir, files_all)
+    stats_all = collect_file_stats(out_dir, files_all,
+                                   detail_cols=cfg.stats_detail_cols,
+                                   spark=df.sparkSession)
     dlq_prefix = f"sink_id={DLQ_SINK}/"
     routed_files = [f for f in files_all if not f.startswith(dlq_prefix)]
     lineage = _lineage_from_stats(routed_files, stats_all)

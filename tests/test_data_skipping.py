@@ -205,6 +205,150 @@ def test_prune_by_path_partition_values():
         man["files"][:1]
 
 
+def test_align_domains_date_timestamp_cross():
+    """Spark compares a DATE column to a TIMESTAMP value by casting the
+    date to its midnight instant — bounds must align the same way, or a
+    midnight-equality predicate falsely excludes the file that holds
+    exactly that day."""
+    from logfowd2_spark.streaming.commit import _align_domains
+
+    # date bounds vs timestamp predicate: suffix bounds to midnight
+    lo, hi, v = _align_domains(
+        "2026-01-01", "2026-01-02", "d",
+        _encode_bound(datetime.datetime(2026, 1, 2)), "t")
+    assert not _bound_excludes(lo, hi, "==", v)
+    assert not _bound_excludes(lo, hi, "<=", _align_domains(
+        "2026-01-01", "2026-01-01", "d",
+        _encode_bound(datetime.datetime(2026, 1, 1)), "t")[2])
+    # timestamp bounds vs date predicate: date literal → its midnight
+    lo, hi, v = _align_domains(
+        "2026-01-01T12:00:00.000000", "2026-01-01T13:00:00.000000", "t",
+        _encode_bound(datetime.date(2026, 1, 1)), "d")
+    assert v == "2026-01-01T00:00:00.000000"
+    # legacy (untagged) bounds: date/timestamp predicates never compare
+    assert _align_domains("2026-01-01", "2026-01-02", None,
+                          "2026-01-05T00:00:00.000000", "t") is None
+    assert _align_domains(1, 5, None, 3, "i") == (1, 5, 3)
+    assert _align_domains("a", "b", None, "c", "s") == ("a", "b", "c")
+    # numeric/string cross stays incomparable in both schemes
+    assert _align_domains(1, 5, "i", "3", "s") is None
+    assert _align_domains("a", "b", "s", 3, "i") is None
+
+
+def test_membership_entry_tiers():
+    from logfowd2_spark.streaming.commit import (
+        BLOOM_MAX_DISTINCT, MEMB_SET_CAP, _membership_entry,
+    )
+
+    # tiny distinct set → exact values, sorted, encoded
+    ent = _membership_entry(["b", "a"], "s")
+    assert ent == {"t": "s", "set": ["a", "b"]}
+    # moderate cardinality → bloom (b64 bits, k hashes)
+    vals = [f"p{i}" for i in range(MEMB_SET_CAP + 1)]
+    ent = _membership_entry(vals, "s")
+    assert ent["t"] == "s" and "b64" in ent and ent["k"] >= 1
+    # beyond the cap → no entry (absent = never pruned, never wrong)
+    big = [f"v{i}" for i in range(BLOOM_MAX_DISTINCT + 1)]
+    assert _membership_entry(big, "s") is None
+    # float domains are never membership-pruned
+    assert _membership_entry([1.5, 2.5], "f") is None
+    assert _membership_entry([], "s") is None
+    # over-long strings overflow the set tier into the bloom tier
+    longs = ["x" * 100, "y" * 100]
+    ent = _membership_entry(longs, "s")
+    assert ent is not None and "b64" in ent
+
+
+def test_membership_excludes_semantics():
+    from logfowd2_spark.streaming.commit import (
+        _membership_entry, _membership_excludes,
+    )
+
+    sset = _membership_entry(["INFO", "WARN"], "s")
+    # a value set serves EVERY op
+    assert _membership_excludes(sset, "==", "ERROR")
+    assert not _membership_excludes(sset, "==", "INFO")
+    assert _membership_excludes(sset, ">", "WARN")
+    assert not _membership_excludes(sset, ">=", "WARN")
+    assert _membership_excludes(sset, "<", "INFO")
+    # type-mismatched probes never prune
+    assert not _membership_excludes(sset, "==", 5)
+
+    vals = [f"pod-{i}" for i in range(500)]
+    bloom = _membership_entry(vals, "s")
+    assert "b64" in bloom
+    # NO false negatives: every built value probes as maybe-present
+    for v in vals:
+        assert not _membership_excludes(bloom, "==", v)
+    # absent keys overwhelmingly excluded (fpp ~1% at 10 bits/key)
+    misses = sum(_membership_excludes(bloom, "==", f"nope-{i}")
+                 for i in range(500))
+    assert misses >= 450
+    # blooms serve equality only, and only on an exact domain match
+    assert not _membership_excludes(bloom, ">", "pod-999")
+    assert not _membership_excludes(bloom, "==", 7)
+
+    iset = _membership_entry([3, 5], "i")
+    assert _membership_excludes(iset, "==", 4)
+    assert not _membership_excludes(iset, "==", 5.0)  # i/f numerics align
+    assert _membership_excludes(iset, ">", 5)
+    assert not _membership_excludes(iset, "==", "3")
+
+
+def test_collect_file_stats_distributed_equals_driver(spark, tmp_path):
+    """Above DISTRIBUTED_STATS_MIN_FILES the commit-time stats pass runs
+    on the executors; its output is bit-identical to the driver loop
+    (same dict, same encoded bounds, same membership entries)."""
+    import pyarrow as pa
+
+    from logfowd2_spark.streaming.commit import DISTRIBUTED_STATS_MIN_FILES
+
+    files = []
+    for i in range(DISTRIBUTED_STATS_MIN_FILES):
+        t = pa.table({
+            "pod": [f"p{i}-{j % 5}" for j in range(20)],
+            "n": list(range(i, i + 20)),
+        })
+        rel = f"part-{i:03d}.parquet"
+        pq.write_table(t, str(tmp_path / rel))
+        files.append(rel)
+    driver = collect_file_stats(str(tmp_path), files, detail_cols=("pod",))
+    dist = collect_file_stats(str(tmp_path), files, detail_cols=("pod",),
+                              spark=spark)
+    assert dist == driver
+    assert list(dist) == files  # caller's file order preserved
+    # below the threshold the spark= kwarg stays on the driver path
+    small = collect_file_stats(str(tmp_path), files[:2],
+                               detail_cols=("pod",), spark=spark)
+    assert small == {r: driver[r] for r in files[:2]}
+
+
+def test_collect_file_stats_membership(tmp_path):
+    import pyarrow as pa
+
+    t = pa.table({
+        "pod": [f"p{i % 60}" for i in range(300)],
+        "ns": [f"ns-{i % 4}" for i in range(300)],
+        "score": [float(i) for i in range(300)],
+    })
+    pq.write_table(t, str(tmp_path / "a.parquet"))
+    stats = collect_file_stats(str(tmp_path), ["a.parquet"],
+                               detail_cols=("pod", "ns", "score", "zz"))
+    memb = stats["a.parquet"]["memb"]
+    assert "b64" in memb["pod"] and memb["ns"]["set"] == [
+        "ns-0", "ns-1", "ns-2", "ns-3"]
+    assert "score" not in memb  # float: skipped
+    assert "zz" not in memb     # absent column: skipped
+    man = {"files": ["a.parquet"], "stats": stats}
+    assert prune_manifest_files(man, [("pod", "==", "p7")]) == ["a.parquet"]
+    assert prune_manifest_files(man, [("pod", "==", "absent")]) == []
+    assert prune_manifest_files(man, [("ns", ">=", "ns-5")]) == []
+    # the same membership serves the IN-set shape
+    assert prune_files_by_id_set(man, "pod", ["absent", "alsono"]) == []
+    assert prune_files_by_id_set(man, "pod", ["absent", "p3"]) == \
+        ["a.parquet"]
+
+
 def test_merge_schemas_add_column_and_conflict():
     s1 = StructType([StructField("a", StringType(), False),
                      StructField("b", LongType())])
@@ -248,7 +392,7 @@ def _routed_ts_bounds(cfg):
         for rel in man["files"]:
             b = man["stats"][rel]["cols"].get("ts")
             if b:
-                out[(name, rel)] = tuple(b)
+                out[(name, rel)] = tuple(b[:2])
     return out
 
 
@@ -276,8 +420,9 @@ def test_manifest_column_bounds_match_footers(piped):
                     st = c.statistics
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
-            assert cols["n_tok"] == [lo, hi]
-            assert "ts" in cols and "level" in cols
+            assert cols["n_tok"] == [lo, hi, "i"]
+            assert "ts" in cols and cols["ts"][2] == "t"
+            assert "level" in cols and cols["level"][2] == "s"
             # raw_line is all-null on routed rows; parse_ok is boolean
             assert "raw_line" not in cols
             assert "parse_ok" not in cols
@@ -354,6 +499,104 @@ def test_scan_routed_prunes_by_partition_path(spark, piped):
               .orderBy("doc_id").collect())
     got = df.orderBy("doc_id").collect()
     assert len(got) == len(expect) > 0 and got == expect
+
+
+def test_scan_routed_prunes_by_pod_membership(spark, piped):
+    """The commit records membership metadata for
+    ``stats_detail_cols`` (default: pod_name bloom, namespace set); a
+    pod point-lookup then prunes from the manifests alone — min/max
+    bounds can't serve it (every file's [min, max] spans most pod
+    names) — with zero footer opens and exact results."""
+    _, _, cfg = piped
+    root = os.path.join(cfg.output_path, "routed")
+    total_files, memb_files = 0, 0
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch_id="):
+            continue
+        man = read_file_manifest(os.path.join(root, name))
+        for rel in man["files"]:
+            total_files += 1
+            memb = man["stats"][rel].get("memb") or {}
+            if "pod_name" in memb and "namespace" in memb:
+                memb_files += 1
+    assert total_files >= 3 and memb_files == total_files
+
+    target = (read_routed(spark, cfg).select("pod_name").first())[0]
+    ioutil.reset_footer_opens()
+    df = scan_routed(spark, cfg, [("pod_name", "==", target)])
+    assert ioutil.FOOTER_OPENS == 0
+    kept = len(df.inputFiles())
+    assert 0 < kept < total_files, (
+        f"membership pruned nothing: {kept}/{total_files}")
+
+    expect = (read_routed(spark, cfg)
+              .filter(F.col("pod_name") == target)
+              .orderBy("doc_id").collect())
+    got = df.orderBy("doc_id").collect()
+    assert len(got) == len(expect) > 0 and got == expect
+    # a pod that never existed prunes to the empty plan
+    assert scan_routed(
+        spark, cfg, [("pod_name", "==", "no-such-pod")]).inputFiles() == []
+
+
+def test_compaction_preserves_membership(spark, piped):
+    """A batch compaction's fresh generation re-records membership for
+    the configured detail columns (threaded through compact_batch)."""
+    _, _, cfg = piped
+    root = os.path.join(cfg.output_path, "routed")
+    bid = committed_batch_ids(cfg)[0]
+    compact_batch(spark, cfg, bid, target_records_per_file=10_000)
+    man = read_file_manifest(os.path.join(root, f"batch_id={bid}"))
+    assert man["generation"] >= 1
+    for rel in man["files"]:
+        memb = man["stats"][rel].get("memb") or {}
+        assert "pod_name" in memb and "namespace" in memb
+
+
+def test_clustered_compaction_tightens_pruning(spark, tmp_path_factory):
+    """``compact_cluster_cols`` turns consolidation into a sort-order
+    rewrite: the generation's files carry DISJOINT pod_name ranges, so
+    a pod point-lookup prunes to a strict subset of the generation from
+    the manifest bounds alone — and still returns exactly the rows the
+    unclustered table held."""
+    d = tmp_path_factory.mktemp("dskip-clus")
+    paths = synth.write_dataset(str(d / "in"), n_rows=900, seed=43,
+                                n_files=3)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        bulk_size=40,
+        compact_cluster_cols=("pod_name",),
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    routed_rows = read_routed(spark, cfg).count()  # parse-fails go to DLQ
+    target = (read_routed(spark, cfg).select("pod_name").first())[0]
+    expect = (read_routed(spark, cfg)
+              .filter(F.col("pod_name") == target)
+              .orderBy("doc_id").collect())
+
+    res = compact_table(spark, cfg, target_records_per_file=120)
+    assert res["rows"] == routed_rows > 0
+    root = os.path.join(cfg.output_path, "routed")
+    man = read_file_manifest(os.path.join(root, "_consolidated"))
+    total = len(man["files"])
+    assert total >= 4, f"rewrite produced only {total} files"
+
+    # the sort happened: some two files have disjoint pod_name ranges
+    bounds = [tuple(man["stats"][f]["cols"]["pod_name"][:2])
+              for f in man["files"]]
+    assert any(a[1] < b[0] or b[1] < a[0]
+               for i, a in enumerate(bounds) for b in bounds[i + 1:]), \
+        f"no disjoint pod ranges across files: {bounds}"
+
+    ioutil.reset_footer_opens()
+    df = scan_routed(spark, cfg, [("pod_name", "==", target)])
+    assert ioutil.FOOTER_OPENS == 0
+    kept = len(df.inputFiles())
+    assert 0 < kept < total, f"clustering pruned nothing: {kept}/{total}"
+    assert df.orderBy("doc_id").collect() == expect
 
 
 def test_as_of_prunes_consolidated_generation_by_batch_id(
