@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
                          "batch dirs into the consolidated generation "
                          "(maintenance.compact_table; as-of reads stay "
                          "exact)")
+    ap.add_argument("--delete-where", metavar="PREDICATES",
+                    help="copy-on-write row-level delete after the "
+                         "batches: JSON list of [col, op, value] "
+                         "triples (AND; op one of == >= > <= <), e.g. "
+                         "'[[\"pod_name\", \"==\", \"pod-7\"]]' — only "
+                         "files provably holding matches are rewritten "
+                         "(maintenance.delete_where)")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -94,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
                 gauges=gauges,
             )
             print(json.dumps({"redrive": summary}))
+        if args.delete_where:
+            from logfowd2_spark.streaming.maintenance import delete_where
+
+            preds = [tuple(p) for p in json.loads(args.delete_where)]
+            print(json.dumps(
+                {"delete_where": delete_where(spark, cfg, preds)}))
         if args.compact_table:
             from logfowd2_spark.streaming.maintenance import compact_table
 

@@ -140,6 +140,19 @@ class PipelineConfig:
     # rebalance layout.
     compact_cluster_cols: tuple = ()
 
+    # --- how the cluster columns order the rewrite: "sort" =
+    # lexicographic (best when lookups lead with the first column, or
+    # the columns are hierarchically correlated); "zorder" =
+    # bit-interleaved Z-values (Iceberg/Delta Z-ORDER): each file covers
+    # a narrow HYPERCUBE of the columns' joint domain instead of a
+    # narrow slice of the first one, so manifest bounds/membership prune
+    # point lookups on ANY clustered column, not just the leading one.
+    # Z-values are derived from the values themselves (scaled against
+    # domains read from the source manifests' commit-time bounds — no
+    # extra pass over the data), never from ranks: no per-column global
+    # sorts.  Ignored with < 2 cluster columns (plain sort is optimal).
+    compact_cluster_mode: str = "sort"
+
     # --- snapshot-retention window for compaction swaps (seconds).
     # 0 = vacuum the superseded generation at the flip (single-writer
     # local default, keeps exactly one generation on disk); > 0 = the
@@ -193,6 +206,9 @@ class PipelineConfig:
                    for c in self.compact_cluster_cols):
             raise ValueError("compact_cluster_cols must be non-empty "
                              "column names")
+        if self.compact_cluster_mode not in ("sort", "zorder"):
+            raise ValueError("compact_cluster_mode must be 'sort' or "
+                             "'zorder'")
         if not 0.0 < self.dedup_est_threshold <= 1.0:
             raise ValueError("dedup_est_threshold must be in (0, 1]")
         if self.sink_fault_sink is not None and self.sink_fault_until_retry < 1:

@@ -1070,6 +1070,7 @@ def manifest_swap(committer, live: str, staged: str,
                   stats: dict[str, dict] | None = None,
                   retain_previous: bool = False,
                   keep_prev_files: bool = False,
+                  drop_files: list[str] | None = None,
                   extra: dict | None = None) -> None:
     """Replace ``live``'s data with ``staged``'s via a manifest flip:
 
@@ -1092,7 +1093,14 @@ def manifest_swap(committer, live: str, staged: str,
     manifest keep a complete, undisturbed old generation until step 5.
     The supersession timestamp is taken once here and carried in the
     replay marker, so a crash-replayed swap retires with the ORIGINAL
-    time (idempotent; the window never restarts)."""
+    time (idempotent; the window never restarts).
+
+    ``drop_files`` (with ``keep_prev_files``) is the PARTIAL-rewrite
+    shape — a copy-on-write row-level delete: the named previous files
+    are superseded by the staged rewrite while every other previous
+    file stays listed untouched.  Dropped files retire under the
+    retention window when ``retain_previous``, else step 5's vacuum
+    reaps them as unreferenced."""
     import time as _time  # noqa: PLC0415
 
     man = read_file_manifest(live)
@@ -1105,13 +1113,23 @@ def manifest_swap(committer, live: str, staged: str,
     if keep_prev_files and man is not None:
         # consolidating APPEND: the previous generation's files stay
         # live and re-listed (immutable, never re-copied); their stats
-        # carry over from the old manifest
-        prev = [f for f in man["files"] if f not in set(staged_files)]
+        # carry over from the old manifest — minus ``drop_files``, the
+        # superseded originals of a copy-on-write partial rewrite
+        dropped = set(drop_files or ())
+        prev = [f for f in man["files"]
+                if f not in set(staged_files) and f not in dropped]
         files = prev + staged_files
         old_stats = man.get("stats") or {}
         stats = {**{f: old_stats[f] for f in prev if f in old_stats},
                  **stats}
         retired = list(man.get("retired", []))
+        gone = [f for f in man["files"] if f in dropped]
+        if gone and retain_previous:
+            retired.append({
+                "generation": man["generation"],
+                "files": gone,
+                "superseded_at": _time.time(),
+            })
     elif retain_previous and man is not None:
         retired = list(man.get("retired", []))
         prev = [f for f in man["files"] if f not in set(staged_files)]

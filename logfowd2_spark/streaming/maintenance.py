@@ -197,6 +197,214 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     return out
 
 
+def predicate_expr(predicates):
+    """``[(col, op, value), ...]`` (op one of ``== >= > <= <``, AND
+    semantics — the same predicate shape the manifest pruning takes) as
+    a Spark ``Column``, so scan and metadata layers evaluate ONE
+    definition of the predicate."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    expr = None
+    for col, op, val in predicates:
+        c = F.col(col)
+        term = {
+            "==": c == F.lit(val),
+            ">=": c >= F.lit(val),
+            ">": c > F.lit(val),
+            "<=": c <= F.lit(val),
+            "<": c < F.lit(val),
+        }[op]
+        expr = term if expr is None else (expr & term)
+    return expr
+
+
+_PY_OPS = {
+    "==": lambda a, b: a == b,
+    ">=": lambda a, b: a >= b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    "<": lambda a, b: a < b,
+}
+
+
+def _rel_of(uri: str, live: str) -> str:
+    """Manifest-relative path of an ``input_file_name()`` URI under
+    ``live`` (Spark reports ``file:`` URIs with %-escaped specials)."""
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+    p = urlparse(uri).path if "://" in uri or uri.startswith("file:") \
+        else uri
+    return os.path.relpath(unquote(p), os.path.abspath(live))
+
+
+def delete_where(spark: SparkSession, cfg: PipelineConfig,
+                 predicates) -> dict:
+    """COPY-ON-WRITE row-level delete over the routed table — Iceberg's
+    ``DELETE FROM ... WHERE`` in copy-on-write mode, on the plain
+    layout.  The retraction path a training-data pipeline needs at
+    100 TB (opt-out sources, PII findings): rows matching ALL of
+    ``predicates`` are removed by rewriting ONLY the files that
+    provably hold matches, under each source's atomic manifest flip.
+
+    Per source (every live per-batch dir + the ``_consolidated``
+    generation; retention copies a consolidation superseded are
+    skipped — readers already exclude them and expiry reaps them):
+
+    1. candidate files from the manifest's commit-time column bounds /
+       membership / partition-path values (``prune_manifest_files``) —
+       untouched files are never listed, read, or rewritten;
+    2. ONE Spark pass over the candidates finds the files that
+       actually hold matching rows (``input_file_name`` group) and the
+       exact match count — bounds are advisory, so a candidate with no
+       matches stays untouched too;
+    3. the hit files' surviving rows (predicate not TRUE — NULL keeps
+       the row, matching SQL DELETE) are rewritten into the
+       committer's stage, row-verified (staged == hit − matched), and
+       published via ``manifest_swap(keep_prev_files, drop_files)``:
+       unaffected files stay listed as-is, the hit files retire under
+       ``cfg.vacuum_retention_s`` (an in-flight reader holding the
+       pre-delete manifest keeps a complete generation; past the
+       window the rows are PHYSICALLY gone — the right-to-be-forgotten
+       contract) or are vacuumed immediately when the window is 0.
+
+    ``batch_id`` predicates are evaluated against per-batch dir names
+    driver-side (every row in a dir shares the id) and Spark-side on
+    the consolidated generation, where batch_id is a data column.
+
+    Returns ``{"deleted_rows", "files_rewritten", "dirs": {...}}``.
+    Crash-safe: the flip is the committed point; an interrupted swap
+    replays via ``recover_compactions`` like any compaction."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.ioutil import footer_num_rows  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, collect_file_stats, data_files, get_committer,
+        manifest_schema, manifest_swap, prune_manifest_files,
+        read_file_manifest, read_table_manifest, stage_path,
+    )
+
+    predicates = list(predicates or [])
+    if not predicates:
+        raise ValueError("delete_where requires at least one predicate")
+    for col, op, val in predicates:
+        if col == "batch_id" and not isinstance(val, str):
+            raise ValueError("batch_id predicates must be strings")
+
+    committer = get_committer(cfg.commit_protocol)
+    recover_compactions(cfg)
+    root = os.path.join(cfg.output_path, "routed")
+    if not os.path.isdir(root):
+        return {"deleted_rows": 0, "files_rewritten": 0, "dirs": {}}
+    tman = read_table_manifest(root)
+    cons_ids = set(tman["consolidated_ids"]) if tman else set()
+
+    targets: list[tuple[str, list]] = []  # (live_dir, row-level preds)
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("batch_id="):
+            continue
+        bid = name.split("=", 1)[1]
+        if bid in cons_ids:
+            continue  # retention copy — readers resolve the id elsewhere
+        if all(_PY_OPS[op](bid, val) for col, op, val in predicates
+               if col == "batch_id"):
+            targets.append((
+                os.path.join(root, name),
+                [p for p in predicates if p[0] != "batch_id"],
+            ))
+    cons = os.path.join(root, CONSOLIDATED_DIR)
+    if os.path.isdir(cons):
+        targets.append((cons, predicates))  # batch_id is a data column
+
+    total_deleted, total_rewritten = 0, 0
+    dirs: dict[str, dict] = {}
+    for live, preds in targets:
+        man = read_file_manifest(live)
+        if man is None:
+            # legacy manifest-less dir: ADOPT it into the manifest layer
+            # first (list its files as generation 0 with footer stats),
+            # so the delete below is the same atomic flip every other
+            # source gets — and future scans gain its pruning metadata
+            files0 = data_files(live)
+            if not files0:
+                continue
+            stats0 = collect_file_stats(live, files0,
+                                        detail_cols=cfg.stats_detail_cols,
+                                        spark=spark)
+            from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+                write_file_manifest,
+            )
+
+            write_file_manifest(committer, live, files0, 0, stats=stats0)
+            man = read_file_manifest(live)
+        cand = prune_manifest_files(man, preds)
+        if not cand:
+            continue
+        sch = manifest_schema(man)
+        rd = spark.read.schema(sch) if sch is not None else spark.read
+        expr = predicate_expr(preds)
+        if expr is None:
+            # every row-level predicate was a batch_id test the dir
+            # already passed: the whole dir matches
+            expr = F.lit(True)
+        df = rd.option("basePath", live).parquet(
+            *[os.path.join(live, f) for f in cand])
+        per_file = (
+            df.filter(expr)
+            .groupBy(F.input_file_name().alias("f")).count().collect()
+        )
+        if not per_file:
+            continue  # bounds were an advisory superset — nothing matches
+        n_matched = sum(r["count"] for r in per_file)
+        hit = sorted(_rel_of(r["f"], live) for r in per_file)
+        stats = (man or {}).get("stats") or {}
+        rows_hit = sum(
+            int(stats[f]["rows"]) if f in stats
+            else footer_num_rows(os.path.join(live, f))
+            for f in hit
+        )
+
+        stage = stage_path(live)
+        shutil.rmtree(stage, ignore_errors=True)
+        keep = (
+            rd.option("basePath", live)
+            .parquet(*[os.path.join(live, f) for f in hit])
+            # NULL predicate keeps the row (SQL DELETE semantics)
+            .filter(~expr.eqNullSafe(F.lit(True)))
+        )
+        (
+            keep.write.mode("overwrite")
+            .partitionBy("sink_id", "log_date")
+            .parquet(stage)
+        )
+        new_files = data_files(stage)
+        new_stats = collect_file_stats(stage, new_files,
+                                       detail_cols=cfg.stats_detail_cols,
+                                       spark=spark)
+        rows_staged = sum(s["rows"] for s in new_stats.values())
+        if rows_staged != rows_hit - n_matched:  # never flip a lossy COW
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"delete rewrite mismatch in {live}: kept {rows_staged}, "
+                f"expected {rows_hit} - {n_matched}"
+            )
+        known = {"generation", "files", "stats", "retired"}
+        extra = {k: v for k, v in man.items() if k not in known}
+        extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
+        manifest_swap(committer, live, stage, stats=new_stats,
+                      keep_prev_files=True, drop_files=hit,
+                      retain_previous=cfg.vacuum_retention_s > 0,
+                      vacuum=cfg.vacuum_retention_s <= 0,
+                      extra=extra)
+        total_deleted += n_matched
+        total_rewritten += len(hit)
+        dirs[os.path.basename(live)] = {
+            "matched": n_matched, "files_rewritten": len(hit),
+            "files_kept": rows_staged,
+        }
+    return {"deleted_rows": total_deleted,
+            "files_rewritten": total_rewritten, "dirs": dirs}
+
+
 def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
                       batch_id: str, predicates=None) -> DataFrame:
     """The routed table as of (and including) ``batch_id`` — only
@@ -300,8 +508,17 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
         ).batches.get(batch_id)
         # rec is always present for a consolidated id (consolidation
         # takes ids FROM the checkpoint manifest); df.count() is the
-        # defensive fallback for a hand-edited checkpoint
-        n_rows = sum(rec.sink_counts.values()) if rec else df.count()
+        # defensive fallback for a hand-edited checkpoint — and the
+        # EXACT path once a COW delete touched the generation (the
+        # checkpoint's commit-time sink counts predate the deletes)
+        from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+            CONSOLIDATED_DIR, read_file_manifest,
+        )
+
+        deleted = (read_file_manifest(os.path.join(root, CONSOLIDATED_DIR))
+                   or {}).get("deleted_rows", 0)
+        n_rows = (sum(rec.sink_counts.values())
+                  if rec and not deleted else df.count())
     else:
         paths = resolve_batch_paths(root, batch_id) or [batch_dir]
         df = spark.read.option("basePath", batch_dir).parquet(*paths)
@@ -345,8 +562,153 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+_Z_STR_BASE = 65536  # codepoints clamped + packed base-2^16, 4 chars
+
+
+def _z_prefix_num(s: str) -> float:
+    """Python mirror of the Spark string→number packing below, for
+    deriving domains from manifest string bounds."""
+    v = 0.0
+    for i, ch in enumerate(s[:4]):
+        v += min(ord(ch), _Z_STR_BASE - 1) * float(_Z_STR_BASE ** (3 - i))
+    return v
+
+
+def _znum_expr(col: str, dtype: str):
+    """An order-preserving numeric (double) projection of a column, for
+    Z-value bucketing.  Strings pack their first 4 codepoints base-2¹⁶
+    (prefix order ≈ string order — Z-locality is advisory, pruning
+    correctness never depends on it); temporal types become epoch
+    numbers; anything else falls back to a hash (locality lost for that
+    column only, still a valid total order to bucket on)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    c = F.col(col)
+    if dtype == "string":
+        e = None
+        for i in range(4):
+            term = (
+                F.least(
+                    F.coalesce(F.ascii(F.substring(c, i + 1, 1)), F.lit(0)),
+                    F.lit(_Z_STR_BASE - 1),
+                ).cast("double")
+                * F.lit(float(_Z_STR_BASE ** (3 - i)))
+            )
+            e = term if e is None else e + term
+        return e
+    if dtype == "date":
+        return F.datediff(c, F.to_date(F.lit("1970-01-01"))).cast("double")
+    if dtype.startswith("timestamp"):
+        return c.cast("double")  # epoch seconds
+    if dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                 "double") or dtype.startswith("decimal"):
+        return c.cast("double")
+    if dtype == "boolean":
+        return c.cast("int").cast("double")
+    return F.xxhash64(c).cast("double")
+
+
+def _z_bound_num(bound, tag: str | None) -> float | None:
+    """A manifest column bound (``_encode_bound`` domain + type tag) in
+    the ``_znum_expr`` numeric domain — None when not convertible."""
+    import datetime  # noqa: PLC0415
+
+    if bound is None or tag is None:
+        return None
+    if tag in ("i", "f"):
+        return float(bound)
+    if tag == "s":
+        return _z_prefix_num(str(bound))
+    if tag == "d":
+        return float(
+            (datetime.date.fromisoformat(bound)
+             - datetime.date(1970, 1, 1)).days)
+    if tag == "t":
+        dt = datetime.datetime.strptime(bound, "%Y-%m-%dT%H:%M:%S.%f")
+        return dt.replace(tzinfo=datetime.timezone.utc).timestamp()
+    return None
+
+
+def _z_domains_from_manifests(mans, cols) -> dict[str, tuple] | None:
+    """Per-column (min, max) in the Z numeric domain, aggregated from
+    the source manifests' commit-time file bounds — the rewrite's
+    scaling constants WITHOUT an extra pass over the data.  None when
+    any referenced file lacks usable bounds for any column (caller
+    falls back to one agg job)."""
+    out: dict[str, tuple] = {}
+    for col in cols:
+        lo = hi = None
+        for man in mans:
+            if man is None:
+                return None
+            stats = man.get("stats") or {}
+            for f in man.get("files", []):
+                b = ((stats.get(f) or {}).get("cols") or {}).get(col)
+                if b is None:
+                    return None
+                tag = b[2] if len(b) > 2 else None
+                bl, bh = _z_bound_num(b[0], tag), _z_bound_num(b[1], tag)
+                if bl is None or bh is None:
+                    return None
+                lo = bl if lo is None else min(lo, bl)
+                hi = bh if hi is None else max(hi, bh)
+        if lo is None:
+            return None
+        out[col] = (lo, hi)
+    return out
+
+
+def zorder_column(df, cols, mans=None, bits: int | None = None):
+    """The Z-value (bit-interleaved multi-column locality key) of
+    ``cols`` as one ``bigint`` Column — Iceberg/Delta Z-ORDER, derived
+    from the VALUES (scaled into 2^bits buckets per column against
+    domains from the source manifests, or one agg job when manifests
+    can't answer), never from ranks: no per-column global sorts, one
+    codegen projection.  Range-partitioning + sorting the rewrite on it
+    gives every output file a narrow hypercube of the joint domain, so
+    commit-time manifest bounds/membership prune lookups on ANY
+    clustered column."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    cols = list(cols)
+    if bits is None:
+        bits = max(1, min(16, 63 // max(1, len(cols))))
+    nb = 1 << bits
+    dtypes = dict(df.dtypes)
+    nums = {c: _znum_expr(c, dtypes[c]) for c in cols}
+    domains = _z_domains_from_manifests(mans or [], cols)
+    if domains is None:
+        row = df.agg(*[F.min(nums[c]).alias(f"mn_{i}") for i, c in
+                       enumerate(cols)],
+                     *[F.max(nums[c]).alias(f"mx_{i}") for i, c in
+                       enumerate(cols)]).collect()[0]
+        domains = {c: (row[f"mn_{i}"], row[f"mx_{i}"])
+                   for i, c in enumerate(cols)}
+    buckets = []
+    for c in cols:
+        mn, mx = domains[c]
+        if mn is None or mx is None or not mx > mn:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        scaled = F.floor((nums[c] - F.lit(float(mn)))
+                         / F.lit(float(mx - mn)) * F.lit(float(nb)))
+        # greatest/least skip SQL nulls → a null value lands in bucket 0
+        buckets.append(
+            F.least(F.lit(nb - 1),
+                    F.greatest(F.lit(0), scaled)).cast("long"))
+    z = None
+    for b in range(bits):
+        for i, bk in enumerate(buckets):
+            bit = F.shiftleft(
+                F.shiftrightunsigned(bk, b).bitwiseAND(F.lit(1)),
+                b * len(buckets) + i,
+            )
+            z = bit if z is None else z.bitwiseOR(bit)
+    return z
+
+
 def _rewrite_layout(df, cfg: PipelineConfig, rows: int,
-                    target_records_per_file: int):
+                    target_records_per_file: int, mans=None):
     """The compaction rewrite's physical layout.
 
     Default: AQE hash-REBALANCE on sink_id (runtime split-sizing +
@@ -369,6 +731,16 @@ def _rewrite_layout(df, cfg: PipelineConfig, rows: int,
 
     n = max(df.sparkSession.sparkContext.defaultParallelism,
             math.ceil(rows / max(1, target_records_per_file)))
+    if (cfg.compact_cluster_mode == "zorder"
+            and len(cfg.compact_cluster_cols) >= 2):
+        z = zorder_column(df, cfg.compact_cluster_cols, mans=mans)
+        keys = ["sink_id", "log_date", "__zorder"]
+        return (
+            df.withColumn("__zorder", z)
+            .repartitionByRange(n, *keys)
+            .sortWithinPartitions(*keys)
+            .drop("__zorder")  # projection on top keeps the sort order
+        )
     keys = ["sink_id", "log_date", *cfg.compact_cluster_cols]
     return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 
@@ -418,7 +790,8 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     # swap into the new generation's manifest.
     paths = resolve_batch_paths(root, batch_id) or [batch_dir]
     files_before = _tree_num_files(batch_dir)
-    sch = manifest_schema(read_file_manifest(batch_dir))
+    src_man = read_file_manifest(batch_dir)
+    sch = manifest_schema(src_man)
     rd = spark.read.schema(sch) if sch is not None else spark.read
     df = rd.option("basePath", batch_dir).parquet(*paths)
     if paths == [batch_dir]:
@@ -426,7 +799,8 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     else:
         rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
     (
-        _rewrite_layout(df, cfg, rows_before, target_records_per_file)
+        _rewrite_layout(df, cfg, rows_before, target_records_per_file,
+                        mans=[src_man])
         .write.mode("overwrite")
         .partitionBy("sink_id", "log_date")
         .option("maxRecordsPerFile", str(target_records_per_file))
@@ -591,10 +965,12 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
         manifest_schema, merge_schemas,
     )
 
-    src_schemas = [
-        manifest_schema(read_file_manifest(os.path.join(
-            root, f"batch_id={b}"))) for b in new_ids
+    src_mans = [
+        read_file_manifest(os.path.join(root, f"batch_id={b}"))
+        for b in new_ids
     ]
+    src_schemas = [manifest_schema(m) for m in src_mans]
+    src_deleted = sum((m or {}).get("deleted_rows", 0) for m in src_mans)
     if all(s is not None for s in src_schemas):
         rd = spark.read.schema(merge_schemas(src_schemas))
     else:
@@ -613,7 +989,8 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     else:
         rec_schema = None  # legacy consolidated gen: stay schema-less
     (
-        _rewrite_layout(df, cfg, rows_before, target_records_per_file)
+        _rewrite_layout(df, cfg, rows_before, target_records_per_file,
+                        mans=src_mans)
         .write.mode("overwrite")
         .partitionBy("sink_id", "log_date")
         .option("maxRecordsPerFile", str(target_records_per_file))
@@ -635,6 +1012,13 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     extra = {"consolidates": tman["consolidated_ids"] + new_ids}
     if rec_schema is not None:
         extra["schema"] = rec_schema.jsonValue()
+    prev_deleted = (man_c or {}).get("deleted_rows", 0)
+    if prev_deleted or src_deleted:
+        # COW deletes touched the previous generation (files re-listed
+        # here) and/or the source batch dirs (rows already physically
+        # absent from this rewrite) — the marker (export_ndjson_bulk's
+        # signal that checkpoint sink counts are stale) must survive
+        extra["deleted_rows"] = prev_deleted + src_deleted
     manifest_swap(committer, live, stage, stats=new_stats,
                   keep_prev_files=True, extra=extra)
     now = _time.time()

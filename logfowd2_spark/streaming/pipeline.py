@@ -616,14 +616,8 @@ def scan_routed(spark: SparkSession, cfg: PipelineConfig,
     parquet scans' row-group stats.  ``predicates`` is
     ``[(col, op, value), ...]`` with op one of ``== >= > <= <``;
     conjunction (AND) semantics."""
+    from logfowd2_spark.streaming.maintenance import predicate_expr  # noqa: PLC0415
+
     df = read_routed(spark, cfg, predicates=predicates)
-    for col, op, val in predicates or []:
-        c = F.col(col)
-        df = df.filter({
-            "==": c == F.lit(val),
-            ">=": c >= F.lit(val),
-            ">": c > F.lit(val),
-            "<=": c <= F.lit(val),
-            "<": c < F.lit(val),
-        }[op])
-    return df
+    expr = predicate_expr(predicates or [])
+    return df if expr is None else df.filter(expr)
