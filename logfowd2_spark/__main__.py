@@ -51,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
                          "'[[\"pod_name\", \"==\", \"pod-7\"]]' — only "
                          "files provably holding matches are rewritten "
                          "(maintenance.delete_where)")
+    ap.add_argument("--delete-mode", choices=("cow", "defer"),
+                    default="cow",
+                    help="cow = rewrite hit files now; defer = record a "
+                         "metadata-only tombstone applied at scan time "
+                         "and materialized by the next compaction (or "
+                         "--materialize-deletes)")
+    ap.add_argument("--materialize-deletes", action="store_true",
+                    help="physically apply all pending deferred-delete "
+                         "tombstones (maintenance.materialize_deletes)")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -105,8 +114,15 @@ def main(argv: list[str] | None = None) -> int:
             from logfowd2_spark.streaming.maintenance import delete_where
 
             preds = [tuple(p) for p in json.loads(args.delete_where)]
-            print(json.dumps(
-                {"delete_where": delete_where(spark, cfg, preds)}))
+            print(json.dumps({"delete_where": delete_where(
+                spark, cfg, preds, mode=args.delete_mode)}))
+        if args.materialize_deletes:
+            from logfowd2_spark.streaming.maintenance import (
+                materialize_deletes,
+            )
+
+            print(json.dumps({"materialize_deletes":
+                              materialize_deletes(spark, cfg)}))
         if args.compact_table:
             from logfowd2_spark.streaming.maintenance import compact_table
 

@@ -155,14 +155,24 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
             # _TABLE.json update the generation can cover MORE ids than
             # the pointer records, and an unfiltered scan would return
             # those rows on top of their still-present per-batch dirs
-            parts.append(df.filter(F.col("batch_id").isin(want_cons)))
+            df = df.filter(F.col("batch_id").isin(want_cons))
+            parts.append(apply_delete_filters(df, cons_man))
     dir_paths = []
     for b in want_dirs:
         man = batch_mans[b]
         d = os.path.join(root, f"batch_id={b}")
         if man is not None:
-            dir_paths += [os.path.join(d, rel)
-                          for rel in prune_manifest_files(man, predicates)]
+            pths = [os.path.join(d, rel)
+                    for rel in prune_manifest_files(man, predicates)]
+            if man.get("delete_filters") and pths:
+                # deferred-delete tombstones are per-source: this dir
+                # scans separately so ONLY its rows pass its filters
+                parts.append(apply_delete_filters(
+                    _reader().option("basePath", root).parquet(*pths),
+                    man,
+                ))
+            else:
+                dir_paths += pths
         elif os.path.isdir(d):
             dir_paths.append(d)
     if dir_paths:
@@ -195,6 +205,22 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
         # unionByName aligns the two shapes
         out = out.unionByName(p)
     return out
+
+
+def apply_delete_filters(df: DataFrame, man: dict | None) -> DataFrame:
+    """Apply a manifest's ``delete_filters`` tombstones (deferred
+    row-level deletes, ``delete_where(mode="defer")``) to a scan of
+    that source: rows matching ANY stored entry (each a conjunctive
+    predicate list) are dropped — the merge-on-read half of the delete
+    model.  No-op without tombstones."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    for entry in (man or {}).get("delete_filters") or []:
+        expr = predicate_expr([tuple(p) for p in entry])
+        if expr is not None:
+            # a NULL predicate keeps the row (SQL DELETE semantics)
+            df = df.filter(~expr.eqNullSafe(F.lit(True)))
+    return df
 
 
 def predicate_expr(predicates):
@@ -238,13 +264,27 @@ def _rel_of(uri: str, live: str) -> str:
 
 
 def delete_where(spark: SparkSession, cfg: PipelineConfig,
-                 predicates) -> dict:
-    """COPY-ON-WRITE row-level delete over the routed table — Iceberg's
-    ``DELETE FROM ... WHERE`` in copy-on-write mode, on the plain
-    layout.  The retraction path a training-data pipeline needs at
-    100 TB (opt-out sources, PII findings): rows matching ALL of
-    ``predicates`` are removed by rewriting ONLY the files that
-    provably hold matches, under each source's atomic manifest flip.
+                 predicates, mode: str = "cow") -> dict:
+    """Row-level delete over the routed table — Iceberg's
+    ``DELETE FROM ... WHERE`` on the plain layout, in either mode.  The
+    retraction path a training-data pipeline needs at 100 TB (opt-out
+    sources, PII findings): rows matching ALL of ``predicates`` are
+    removed by rewriting ONLY the files that provably hold matches,
+    under each source's atomic manifest flip.
+
+    ``mode="cow"`` (default) rewrites immediately — copy-on-write.
+    ``mode="defer"`` is merge-on-read: the predicate is recorded as a
+    ``delete_filters`` tombstone entry in each candidate source's
+    manifest — METADATA-ONLY, no Spark job, O(dirs) regardless of table
+    size — and every reader (``read_routed``/``scan_routed``/as-of/
+    export) applies the stored tombstones at scan time.  The physical
+    rewrite happens at the next compaction of the source, or explicitly
+    via ``materialize_deletes`` — Iceberg's delete-file model with the
+    rewrite deferred to table maintenance, which is how a 100 TB delete
+    stays an O(metadata) operation on the ingest path.  Deferred
+    predicate values must be JSON-encodable (str/int/float); manifest
+    row/byte stats intentionally keep counting tombstoned rows until
+    materialization (same property as Iceberg MOR).
 
     Per source (every live per-batch dir + the ``_consolidated``
     generation; retention copies a consolidation superseded are
@@ -271,24 +311,34 @@ def delete_where(spark: SparkSession, cfg: PipelineConfig,
     driver-side (every row in a dir shares the id) and Spark-side on
     the consolidated generation, where batch_id is a data column.
 
-    Returns ``{"deleted_rows", "files_rewritten", "dirs": {...}}``.
-    Crash-safe: the flip is the committed point; an interrupted swap
-    replays via ``recover_compactions`` like any compaction."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
+    Returns ``{"deleted_rows", "files_rewritten", "dirs": {...}}``
+    (cow) or ``{"deferred": True, "dirs": {...}}`` (defer).
+    Crash-safe: the flip (or the atomic manifest put, in defer mode) is
+    the committed point; an interrupted swap replays via
+    ``recover_compactions`` like any compaction."""
+    import json as _json  # noqa: PLC0415
 
-    from logfowd2_spark.ioutil import footer_num_rows  # noqa: PLC0415
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        CONSOLIDATED_DIR, collect_file_stats, data_files, get_committer,
-        manifest_schema, manifest_swap, prune_manifest_files,
-        read_file_manifest, read_table_manifest, stage_path,
+        CONSOLIDATED_DIR, get_committer, prune_manifest_files,
+        read_file_manifest, read_table_manifest,
     )
 
+    if mode not in ("cow", "defer"):
+        raise ValueError("mode must be 'cow' or 'defer'")
     predicates = list(predicates or [])
     if not predicates:
         raise ValueError("delete_where requires at least one predicate")
     for col, op, val in predicates:
+        if op not in _PY_OPS:
+            raise ValueError(f"unsupported op {op!r}")
         if col == "batch_id" and not isinstance(val, str):
             raise ValueError("batch_id predicates must be strings")
+    if mode == "defer":
+        try:
+            _json.dumps([list(p) for p in predicates])
+        except TypeError:
+            raise ValueError("defer mode requires JSON-encodable "
+                             "predicate values (str/int/float)")
 
     committer = get_committer(cfg.commit_protocol)
     recover_compactions(cfg)
@@ -315,94 +365,221 @@ def delete_where(spark: SparkSession, cfg: PipelineConfig,
     if os.path.isdir(cons):
         targets.append((cons, predicates))  # batch_id is a data column
 
+    if mode == "defer":
+        dirs_d: dict[str, dict] = {}
+        for live, preds in targets:
+            man = _ensure_manifest(spark, cfg, committer, live)
+            if man is None:
+                continue
+            if not any(prune_manifest_files(man, e) for e in [preds]):
+                continue  # metadata proves no file can hold a match
+            entry = [list(p) for p in preds]
+            filters = list(man.get("delete_filters") or [])
+            if entry not in filters:  # idempotent re-runs
+                filters.append(entry)
+                _rewrite_manifest_extra(committer, live, man,
+                                        {"delete_filters": filters})
+            dirs_d[os.path.basename(live)] = {
+                "tombstoned": True, "filters": len(filters),
+            }
+        return {"deferred": True, "dirs": dirs_d}
+
     total_deleted, total_rewritten = 0, 0
     dirs: dict[str, dict] = {}
     for live, preds in targets:
-        man = read_file_manifest(live)
-        if man is None:
-            # legacy manifest-less dir: ADOPT it into the manifest layer
-            # first (list its files as generation 0 with footer stats),
-            # so the delete below is the same atomic flip every other
-            # source gets — and future scans gain its pruning metadata
-            files0 = data_files(live)
-            if not files0:
-                continue
-            stats0 = collect_file_stats(live, files0,
-                                        detail_cols=cfg.stats_detail_cols,
-                                        spark=spark)
-            from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-                write_file_manifest,
-            )
-
-            write_file_manifest(committer, live, files0, 0, stats=stats0)
-            man = read_file_manifest(live)
-        cand = prune_manifest_files(man, preds)
-        if not cand:
+        res = _cow_delete_in_dir(spark, cfg, committer, live, [preds])
+        if res is None:
             continue
-        sch = manifest_schema(man)
-        rd = spark.read.schema(sch) if sch is not None else spark.read
-        expr = predicate_expr(preds)
-        if expr is None:
-            # every row-level predicate was a batch_id test the dir
-            # already passed: the whole dir matches
-            expr = F.lit(True)
-        df = rd.option("basePath", live).parquet(
-            *[os.path.join(live, f) for f in cand])
-        per_file = (
-            df.filter(expr)
-            .groupBy(F.input_file_name().alias("f")).count().collect()
-        )
-        if not per_file:
-            continue  # bounds were an advisory superset — nothing matches
-        n_matched = sum(r["count"] for r in per_file)
-        hit = sorted(_rel_of(r["f"], live) for r in per_file)
-        stats = (man or {}).get("stats") or {}
-        rows_hit = sum(
-            int(stats[f]["rows"]) if f in stats
-            else footer_num_rows(os.path.join(live, f))
-            for f in hit
-        )
-
-        stage = stage_path(live)
-        shutil.rmtree(stage, ignore_errors=True)
-        keep = (
-            rd.option("basePath", live)
-            .parquet(*[os.path.join(live, f) for f in hit])
-            # NULL predicate keeps the row (SQL DELETE semantics)
-            .filter(~expr.eqNullSafe(F.lit(True)))
-        )
-        (
-            keep.write.mode("overwrite")
-            .partitionBy("sink_id", "log_date")
-            .parquet(stage)
-        )
-        new_files = data_files(stage)
-        new_stats = collect_file_stats(stage, new_files,
-                                       detail_cols=cfg.stats_detail_cols,
-                                       spark=spark)
-        rows_staged = sum(s["rows"] for s in new_stats.values())
-        if rows_staged != rows_hit - n_matched:  # never flip a lossy COW
-            shutil.rmtree(stage, ignore_errors=True)
-            raise RuntimeError(
-                f"delete rewrite mismatch in {live}: kept {rows_staged}, "
-                f"expected {rows_hit} - {n_matched}"
-            )
-        known = {"generation", "files", "stats", "retired"}
-        extra = {k: v for k, v in man.items() if k not in known}
-        extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
-        manifest_swap(committer, live, stage, stats=new_stats,
-                      keep_prev_files=True, drop_files=hit,
-                      retain_previous=cfg.vacuum_retention_s > 0,
-                      vacuum=cfg.vacuum_retention_s <= 0,
-                      extra=extra)
-        total_deleted += n_matched
-        total_rewritten += len(hit)
-        dirs[os.path.basename(live)] = {
-            "matched": n_matched, "files_rewritten": len(hit),
-            "files_kept": rows_staged,
-        }
+        total_deleted += res["matched"]
+        total_rewritten += res["files_rewritten"]
+        dirs[os.path.basename(live)] = res
     return {"deleted_rows": total_deleted,
             "files_rewritten": total_rewritten, "dirs": dirs}
+
+
+def _ensure_manifest(spark, cfg: PipelineConfig, committer, live: str):
+    """The dir's manifest, ADOPTING manifest-less legacy dirs into the
+    manifest layer first (their files listed as generation 0 with
+    footer stats) — or None for an empty dir."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        collect_file_stats, data_files, read_file_manifest,
+        write_file_manifest,
+    )
+
+    man = read_file_manifest(live)
+    if man is not None:
+        return man
+    files0 = data_files(live)
+    if not files0:
+        return None
+    stats0 = collect_file_stats(live, files0,
+                                detail_cols=cfg.stats_detail_cols,
+                                spark=spark)
+    write_file_manifest(committer, live, files0, 0, stats=stats0)
+    return read_file_manifest(live)
+
+
+def _rewrite_manifest_extra(committer, live: str, man: dict,
+                            updates: dict) -> None:
+    """Atomically republish a manifest with its extra metadata updated
+    (same generation/files/stats/retired — a metadata-only commit, like
+    ``vacuum_expired``'s rewrite).  An ``updates`` value of None drops
+    the key."""
+    from logfowd2_spark.streaming.commit import write_file_manifest  # noqa: PLC0415
+
+    known = {"generation", "files", "stats", "retired"}
+    extra = {k: v for k, v in man.items() if k not in known}
+    for k, v in updates.items():
+        if v is None:
+            extra.pop(k, None)
+        else:
+            extra[k] = v
+    write_file_manifest(committer, live, man["files"], man["generation"],
+                        stats=man.get("stats"), retired=man.get("retired"),
+                        extra=extra)
+
+
+def materialize_deletes(spark: SparkSession, cfg: PipelineConfig,
+                        dirs: list[str] | None = None) -> dict:
+    """Apply every pending ``delete_filters`` tombstone physically —
+    the deferred half of ``delete_where(mode="defer")`` (Iceberg's
+    rewrite-data-files over a table with delete files).  One COW pass
+    per tombstoned source removes rows matching ANY stored entry and
+    clears the tombstones under the same manifest flip, so there is no
+    window where rows are double-deleted or resurrected.  Compactions
+    call this on their sources first: a consolidation must never fold
+    tombstoned rows into a generation whose tombstones it then drops.
+    Returns {dir_name: per-dir result}."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, get_committer, read_file_manifest,
+    )
+
+    committer = get_committer(cfg.commit_protocol)
+    root = os.path.join(cfg.output_path, "routed")
+    if dirs is None:
+        recover_compactions(cfg)
+        if not os.path.isdir(root):
+            return {}
+        dirs = [os.path.join(root, n) for n in sorted(os.listdir(root))
+                if n.startswith("batch_id=")]
+        cons = os.path.join(root, CONSOLIDATED_DIR)
+        if os.path.isdir(cons):
+            dirs.append(cons)
+    out: dict[str, dict] = {}
+    for live in dirs:
+        man = read_file_manifest(live)
+        filters = (man or {}).get("delete_filters")
+        if not filters:
+            continue
+        entries = [[tuple(p) for p in e] for e in filters]
+        res = _cow_delete_in_dir(spark, cfg, committer, live, entries,
+                                 clear_filters=True)
+        if res is None:
+            # tombstones matched nothing (already-compacted rows, or
+            # advisory bounds): still clear them so scans stop paying
+            _rewrite_manifest_extra(committer, live, man,
+                                    {"delete_filters": None})
+            res = {"matched": 0, "files_rewritten": 0, "files_kept": 0}
+        out[os.path.basename(live)] = res
+    return out
+
+
+def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
+                       entries, clear_filters: bool = False) -> dict | None:
+    """One source dir's copy-on-write delete: remove rows matching ANY
+    of ``entries`` (each a conjunctive ``[(col, op, value), ...]`` list;
+    an empty entry matches the whole dir).  Candidate files come from
+    the manifest metadata per entry; one Spark pass finds the files
+    actually holding matches; only those are rewritten and published by
+    the manifest flip (``keep_prev_files`` + ``drop_files``).  Adopts
+    manifest-less legacy dirs into the manifest layer first.  With
+    ``clear_filters`` the flipped manifest drops ``delete_filters`` —
+    the materialization path of deferred deletes.  Returns the per-dir
+    result dict, or None when nothing matched."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.ioutil import footer_num_rows  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        collect_file_stats, data_files, manifest_schema, manifest_swap,
+        prune_manifest_files, stage_path,
+    )
+
+    man = _ensure_manifest(spark, cfg, committer, live)
+    if man is None:
+        return None
+    cand: list[str] = []
+    seen: set[str] = set()
+    for entry in entries:
+        for f in prune_manifest_files(man, entry):
+            if f not in seen:
+                seen.add(f)
+                cand.append(f)
+    if not cand:
+        return None
+    sch = manifest_schema(man)
+    rd = spark.read.schema(sch) if sch is not None else spark.read
+    expr = None
+    for entry in entries:
+        e = predicate_expr(entry)
+        # an empty entry (e.g. a batch_id-only predicate the dir already
+        # passed) matches the whole dir
+        e = F.lit(True) if e is None else e
+        expr = e if expr is None else (expr | e)
+    df = rd.option("basePath", live).parquet(
+        *[os.path.join(live, f) for f in cand])
+    per_file = (
+        df.filter(expr)
+        .groupBy(F.input_file_name().alias("f")).count().collect()
+    )
+    if not per_file:
+        return None  # bounds were an advisory superset — nothing matches
+    n_matched = sum(r["count"] for r in per_file)
+    hit = sorted(_rel_of(r["f"], live) for r in per_file)
+    stats = man.get("stats") or {}
+    rows_hit = sum(
+        int(stats[f]["rows"]) if f in stats
+        else footer_num_rows(os.path.join(live, f))
+        for f in hit
+    )
+
+    stage = stage_path(live)
+    shutil.rmtree(stage, ignore_errors=True)
+    keep = (
+        rd.option("basePath", live)
+        .parquet(*[os.path.join(live, f) for f in hit])
+        # NULL predicate keeps the row (SQL DELETE semantics)
+        .filter(~expr.eqNullSafe(F.lit(True)))
+    )
+    (
+        keep.write.mode("overwrite")
+        .partitionBy("sink_id", "log_date")
+        .parquet(stage)
+    )
+    new_files = data_files(stage)
+    new_stats = collect_file_stats(stage, new_files,
+                                   detail_cols=cfg.stats_detail_cols,
+                                   spark=spark)
+    rows_staged = sum(s["rows"] for s in new_stats.values())
+    if rows_staged != rows_hit - n_matched:  # never flip a lossy COW
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"delete rewrite mismatch in {live}: kept {rows_staged}, "
+            f"expected {rows_hit} - {n_matched}"
+        )
+    known = {"generation", "files", "stats", "retired"}
+    extra = {k: v for k, v in man.items() if k not in known}
+    extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
+    if clear_filters:
+        extra.pop("delete_filters", None)
+    manifest_swap(committer, live, stage, stats=new_stats,
+                  keep_prev_files=True, drop_files=hit,
+                  retain_previous=cfg.vacuum_retention_s > 0,
+                  vacuum=cfg.vacuum_retention_s <= 0,
+                  extra=extra)
+    return {
+        "matched": n_matched, "files_rewritten": len(hit),
+        "files_kept": rows_staged,
+    }
 
 
 def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
@@ -520,9 +697,18 @@ def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,
         n_rows = (sum(rec.sink_counts.values())
                   if rec and not deleted else df.count())
     else:
+        from logfowd2_spark.streaming.commit import read_file_manifest  # noqa: PLC0415
+
         paths = resolve_batch_paths(root, batch_id) or [batch_dir]
         df = spark.read.option("basePath", batch_dir).parquet(*paths)
-        n_rows = None
+        man_b = read_file_manifest(batch_dir)
+        if (man_b or {}).get("delete_filters"):
+            # deferred tombstones: apply at scan and recount exactly
+            # (manifest stats still count tombstoned rows by design)
+            df = apply_delete_filters(df, man_b)
+            n_rows = df.count()
+        else:
+            n_rows = None
     action = F.concat(
         F.lit('{"index":{"_index":"'),
         F.col("sink_id"), F.lit("-"),
@@ -776,6 +962,10 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     batch_dir = os.path.join(root, f"batch_id={batch_id}")
     if not os.path.isdir(batch_dir):
         raise ValueError(f"no such batch dir: {batch_dir}")
+    # deferred-delete tombstones materialize BEFORE the rewrite — a
+    # compaction must never fold tombstoned rows into a generation
+    # whose tombstones it then drops
+    materialize_deletes(spark, cfg, dirs=[batch_dir])
     tmp = stage_path(batch_dir)
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -906,6 +1096,11 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
 
     committer = get_committer(cfg.commit_protocol)
     recover_compactions(cfg)
+    # deferred-delete tombstones materialize BEFORE the consolidation:
+    # the rewrite folds sources into the consolidated generation and a
+    # per-source tombstone cannot survive that move (it would wrongly
+    # apply to every other source's rows)
+    materialize_deletes(spark, cfg)
     root = os.path.join(cfg.output_path, "routed")
     live = os.path.join(root, CONSOLIDATED_DIR)
     tman = read_table_manifest(root) or {

@@ -27,6 +27,7 @@ from logfowd2_spark.streaming.maintenance import (
     committed_batch_ids,
     compact_table,
     delete_where,
+    materialize_deletes,
     read_routed_as_of,
     vacuum_expired_table,
 )
@@ -224,3 +225,106 @@ def test_legacy_dir_is_adopted_then_deleted(spark, tmp_path_factory):
     assert man["deleted_rows"] == res["deleted_rows"]
     after = _norm(read_routed(spark, cfg).toPandas())
     assert after.equals(_norm(before[before["pod_name"] != pod]))
+
+
+# ---------------------------------------------------------------------------
+# Deferred (merge-on-read) deletes: delete_where(mode="defer")
+# ---------------------------------------------------------------------------
+
+def _mk_table(spark, tmp_path_factory, name, n_rows=600, n_files=2, **kw):
+    d = tmp_path_factory.mktemp(name)
+    paths = synth.write_dataset(str(d / "in"), n_rows=n_rows, seed=47,
+                                n_files=n_files)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(d / "out"),
+        checkpoint_path=str(d / "ckpt"),
+        bulk_size=60,
+        **kw,
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    return cfg
+
+
+def test_defer_is_metadata_only_and_applied_at_scan(spark,
+                                                    tmp_path_factory):
+    from logfowd2_spark.streaming.maintenance import export_ndjson_bulk
+    from logfowd2_spark.streaming.pipeline import scan_routed
+
+    cfg = _mk_table(spark, tmp_path_factory, "delw-mor")
+    before = _norm(read_routed(spark, cfg).toPandas())
+    pod = before["pod_name"].value_counts().index[1]
+    n_pod = int((before["pod_name"] == pod).sum())
+    snap = {p: (read_file_manifest(p)["generation"],
+                tuple(read_file_manifest(p)["files"]))
+            for p in _batch_dirs(cfg)}
+
+    res = delete_where(spark, cfg, [("pod_name", "==", pod)],
+                       mode="defer")
+    assert res["deferred"] and res["dirs"]
+    # METADATA-ONLY: no generation flip, no file rewritten
+    for p, (g, files) in snap.items():
+        man = read_file_manifest(p)
+        assert (man["generation"], tuple(man["files"])) == (g, files)
+        assert man["delete_filters"] == [[["pod_name", "==", pod]]]
+    # ...but every read path applies the tombstone
+    after = _norm(read_routed(spark, cfg).toPandas())
+    assert after.equals(_norm(before[before["pod_name"] != pod]))
+    assert scan_routed(spark, cfg,
+                       [("pod_name", "==", pod)]).count() == 0
+    ids = committed_batch_ids(cfg)
+    asof = read_routed_as_of(spark, cfg, ids[0]).toPandas()
+    assert (asof["pod_name"] == pod).sum() == 0
+    # the NDJSON export recounts instead of trusting stale stats
+    out = os.path.join(cfg.output_path, "export")
+    n = export_ndjson_bulk(spark, cfg, ids[0], out)
+    assert n == int((asof["batch_id"] == ids[0]).sum()
+                    if "batch_id" in asof else len(asof))
+
+    # idempotent re-issue: still exactly one tombstone entry
+    delete_where(spark, cfg, [("pod_name", "==", pod)], mode="defer")
+    for p in _batch_dirs(cfg):
+        assert len(read_file_manifest(p)["delete_filters"]) == 1
+
+    # a predicate the membership metadata refutes writes NO tombstone
+    res2 = delete_where(spark, cfg, [("pod_name", "==", "no-such-pod")],
+                        mode="defer")
+    assert res2 == {"deferred": True, "dirs": {}}
+    assert res["deleted_rows"] if "deleted_rows" in res else True
+
+    # materialization: rows physically gone, tombstones cleared, counts
+    # stamped — under one flip per dir
+    out2 = materialize_deletes(spark, cfg)
+    assert sum(r["matched"] for r in out2.values()) == n_pod
+    for p in _batch_dirs(cfg):
+        man = read_file_manifest(p)
+        assert "delete_filters" not in man
+        assert man["deleted_rows"] > 0 or \
+            os.path.basename(p) not in out2
+    final = _norm(read_routed(spark, cfg).toPandas())
+    assert final.equals(after)
+    # a second materialization is a no-op
+    assert materialize_deletes(spark, cfg) == {}
+
+
+def test_defer_then_compact_table_materializes_first(spark,
+                                                     tmp_path_factory):
+    """A consolidation over tombstoned sources must not fold logically
+    deleted rows into the consolidated generation (whose manifest drops
+    the per-source tombstones)."""
+    cfg = _mk_table(spark, tmp_path_factory, "delw-mor-ct")
+    before = _norm(read_routed(spark, cfg).toPandas())
+    pod = before["pod_name"].value_counts().index[0]
+    delete_where(spark, cfg, [("pod_name", "==", pod)], mode="defer")
+
+    res = compact_table(spark, cfg, target_records_per_file=100_000)
+    expect = _norm(before[before["pod_name"] != pod])
+    assert res["rows"] == len(expect)
+    after = _norm(read_routed(spark, cfg).toPandas())
+    assert after.equals(expect)
+    root = os.path.join(cfg.output_path, "routed")
+    man = read_file_manifest(os.path.join(root, CONSOLIDATED_DIR))
+    assert "delete_filters" not in man
+    # the materialized counts rolled into the consolidated marker
+    assert man["deleted_rows"] == len(before) - len(expect)
