@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
                          "metadata-only tombstone applied at scan time "
                          "and materialized by the next compaction (or "
                          "--materialize-deletes)")
+    ap.add_argument("--merge-from", metavar="PARQUET",
+                    help="MERGE INTO the routed table from this parquet "
+                         "of updates: matched keys update in place, "
+                         "unmatched insert as a merge-NNNNN batch "
+                         "(maintenance.merge_into)")
+    ap.add_argument("--merge-key", default="doc_id",
+                    help="merge key column (default doc_id)")
     ap.add_argument("--materialize-deletes", action="store_true",
                     help="physically apply all pending deferred-delete "
                          "tombstones (maintenance.materialize_deletes)")
@@ -116,6 +123,12 @@ def main(argv: list[str] | None = None) -> int:
             preds = [tuple(p) for p in json.loads(args.delete_where)]
             print(json.dumps({"delete_where": delete_where(
                 spark, cfg, preds, mode=args.delete_mode)}))
+        if args.merge_from:
+            from logfowd2_spark.streaming.maintenance import merge_into
+
+            print(json.dumps({"merge_into": merge_into(
+                spark, cfg, spark.read.parquet(args.merge_from),
+                key_col=args.merge_key)}))
         if args.materialize_deletes:
             from logfowd2_spark.streaming.maintenance import (
                 materialize_deletes,

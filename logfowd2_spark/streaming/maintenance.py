@@ -582,6 +582,256 @@ def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
     }
 
 
+#: driver-side cap on the distinct merge keys collected for manifest
+#: pruning and anti-join broadcasting; a MERGE source is a correction /
+#: late-arrival set, orders of magnitude smaller than the table
+MERGE_MAX_KEYS = 200_000
+
+
+def merge_into(spark: SparkSession, cfg: PipelineConfig,
+               updates: DataFrame, key_col: str = "doc_id") -> dict:
+    """MERGE INTO the routed table — Iceberg/Delta ``MERGE`` in
+    copy-on-write mode on the plain layout: for each row of
+    ``updates``, WHEN MATCHED on ``key_col`` update every shared
+    non-key column in place, WHEN NOT MATCHED insert the row.  The
+    upsert path a continuously-corrected corpus needs (late metadata,
+    relabeled documents), built from the table format's own protocols:
+
+    - **Updates** reuse the COW delete machinery's shape per source
+      (every live per-batch dir + the consolidated generation):
+      candidate files come from the manifests' ``key_col``
+      bounds/membership (``prune_files_by_id_set`` — the IN-predicate
+      prune), ONE broadcast-join pass finds the files actually holding
+      matched keys, and only those are rewritten (each row patched via
+      a left join: matched rows take the update's columns, others pass
+      through; row count verified unchanged) under the atomic manifest
+      flip with retention (``keep_prev_files`` + ``drop_files``).
+    - **Inserts** (keys matching nowhere) append to the
+      ``_consolidated`` generation as a synthetic ``merge-NNNNN``
+      batch: staged files + ``manifest_swap(keep_prev_files)`` carrying
+      the cumulative ``consolidates`` list, then the atomic
+      ``_TABLE.json`` pointer — exactly ``compact_table``'s two-phase
+      commit, so a crash between the phases is healed by the same
+      ``_recover_table_pointer`` logic without row duplication.
+
+    ``updates`` must be unique per key and carry ``key_col``,
+    ``sink_id`` and ``log_date`` (the partition columns of inserted
+    rows); other table columns are optional — present ones update /
+    insert, absent ones keep the table value (updates) or null
+    (inserts).  ``batch_id`` is never updated (it is lineage).  The
+    whole MERGE is idempotent: re-running it finds the inserted keys
+    matched and rewrites them to the same values.
+
+    Returns ``{"updated_rows", "inserted_rows", "files_rewritten",
+    "insert_batch_id", "dirs": {...}}``."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.ioutil import footer_num_rows  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, collect_file_stats, data_files, get_committer,
+        manifest_schema, manifest_swap, merge_schemas,
+        prune_files_by_id_set, read_file_manifest, read_table_manifest,
+        stage_path, write_table_manifest,
+    )
+
+    ucols = set(updates.columns)
+    required = {key_col, "sink_id", "log_date"}
+    if not required <= ucols:
+        raise ValueError(f"updates must carry {sorted(required)}")
+    committer = get_committer(cfg.commit_protocol)
+    recover_compactions(cfg)
+    # pending tombstones materialize first: a tombstoned row must not
+    # count as MATCHED (it is logically deleted)
+    materialize_deletes(spark, cfg)
+    root = os.path.join(cfg.output_path, "routed")
+    os.makedirs(root, exist_ok=True)
+    live = os.path.join(root, CONSOLIDATED_DIR)
+    tman = read_table_manifest(root) or {
+        "version": 1, "consolidated_ids": [], "pending": [],
+    }
+    tman = _recover_table_pointer(cfg, committer, root, tman,
+                                  read_file_manifest(live))
+
+    # the MERGE source: driver-bounded, broadcast everywhere below
+    keys = [r[0] for r in
+            updates.select(key_col).limit(MERGE_MAX_KEYS + 1).collect()]
+    if len(keys) > MERGE_MAX_KEYS:
+        raise ValueError(f"updates exceed MERGE_MAX_KEYS={MERGE_MAX_KEYS}")
+    if len(set(keys)) != len(keys):
+        raise ValueError("updates must be unique per key")
+    u = updates.select([F.col(c).alias(f"__u_{c}") for c in
+                        updates.columns])
+    ukey = f"__u_{key_col}"
+
+    cons_ids = set(tman["consolidated_ids"])
+    targets = [
+        os.path.join(root, n) for n in sorted(os.listdir(root))
+        if n.startswith("batch_id=")
+        and n.split("=", 1)[1] not in cons_ids  # retention copies
+    ]
+    if os.path.isdir(live):
+        targets.append(live)
+
+    updated_rows, files_rewritten = 0, 0
+    matched_keys: set = set()
+    dirs: dict[str, dict] = {}
+    for tgt in targets:
+        man = _ensure_manifest(spark, cfg, committer, tgt)
+        if man is None:
+            continue
+        cand = prune_files_by_id_set(man, key_col, keys)
+        if not cand:
+            continue
+        sch = manifest_schema(man)
+        rd = spark.read.schema(sch) if sch is not None else spark.read
+        df = rd.option("basePath", tgt).parquet(
+            *[os.path.join(tgt, f) for f in cand])
+        pairs = (
+            # stamp the file BEFORE the join: with file-backed updates
+            # input_file_name() after a two-source join is ambiguous
+            df.withColumn("__f", F.input_file_name())
+            .join(F.broadcast(u), F.col(key_col) == F.col(ukey))
+            .groupBy(F.col("__f").alias("f"),
+                     F.col(ukey).alias("k")).count().collect()
+        )
+        if not pairs:
+            continue
+        n_matched = sum(r["count"] for r in pairs)
+        hit = sorted({_rel_of(r["f"], tgt) for r in pairs})
+        matched_keys.update(r["k"] for r in pairs)
+        stats = man.get("stats") or {}
+        rows_hit = sum(
+            int(stats[f]["rows"]) if f in stats
+            else footer_num_rows(os.path.join(tgt, f))
+            for f in hit
+        )
+        tdtypes = dict(df.dtypes)
+        patch = [
+            (F.when(F.col(ukey).isNotNull(),
+                    F.col(f"__u_{c}").cast(tdtypes[c]))
+             .otherwise(F.col(c)).alias(c))
+            if (c in ucols and c not in (key_col, "batch_id"))
+            else F.col(c)
+            for c in df.columns
+        ]
+        stage = stage_path(tgt)
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            rd.option("basePath", tgt)
+            .parquet(*[os.path.join(tgt, f) for f in hit])
+            .join(F.broadcast(u), F.col(key_col) == F.col(ukey), "left")
+            .select(*patch)
+            .write.mode("overwrite")
+            .partitionBy("sink_id", "log_date")
+            .parquet(stage)
+        )
+        new_files = data_files(stage)
+        new_stats = collect_file_stats(stage, new_files,
+                                       detail_cols=cfg.stats_detail_cols,
+                                       spark=spark)
+        rows_staged = sum(s["rows"] for s in new_stats.values())
+        if rows_staged != rows_hit:  # an UPDATE never changes row count
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"merge rewrite mismatch in {tgt}: {rows_hit} -> "
+                f"{rows_staged}"
+            )
+        known = {"generation", "files", "stats", "retired"}
+        extra = {k: v for k, v in man.items() if k not in known}
+        manifest_swap(committer, tgt, stage, stats=new_stats,
+                      keep_prev_files=True, drop_files=hit,
+                      retain_previous=cfg.vacuum_retention_s > 0,
+                      vacuum=cfg.vacuum_retention_s <= 0,
+                      extra=extra)
+        updated_rows += n_matched
+        files_rewritten += len(hit)
+        dirs[os.path.basename(tgt)] = {
+            "matched": n_matched, "files_rewritten": len(hit),
+        }
+
+    # ---- WHEN NOT MATCHED: insert as a synthetic consolidated batch
+    if matched_keys:
+        mk = spark.createDataFrame([(k,) for k in sorted(matched_keys)],
+                                   updates.select(key_col).schema)
+        ins = updates.join(F.broadcast(mk), key_col, "left_anti")
+    else:
+        ins = updates
+    n_ins = ins.count()
+    merge_id = None
+    if n_ins:
+        seq = [int(b.split("-")[1]) for b in tman["consolidated_ids"]
+               if b.startswith("merge-") and b.split("-")[1].isdigit()]
+        merge_id = f"merge-{(max(seq) + 1 if seq else 0):05d}"
+        cons_man = read_file_manifest(live)
+        ref = manifest_schema(cons_man)
+        if ref is None:
+            # derive the table's data schema (incl. batch_id, the
+            # consolidated generation's data column) from the table read
+            from logfowd2_spark.streaming.pipeline import read_routed  # noqa: PLC0415
+
+            ref = read_routed(spark, cfg).drop("sink_id", "log_date") \
+                .schema if targets else None
+        proj = []
+        names = set()
+        if ref is not None:
+            for fld in ref.fields:
+                names.add(fld.name)
+                if fld.name == "batch_id":
+                    proj.append(F.lit(merge_id).alias("batch_id"))
+                elif fld.name in ucols:
+                    proj.append(F.col(fld.name)
+                                .cast(fld.dataType).alias(fld.name))
+                else:
+                    proj.append(F.lit(None)
+                                .cast(fld.dataType).alias(fld.name))
+        else:  # first rows of an empty table: the updates ARE the shape
+            for c in updates.columns:
+                if c not in ("sink_id", "log_date", "batch_id"):
+                    names.add(c)
+                    proj.append(F.col(c))
+        if "batch_id" not in names:
+            proj.append(F.lit(merge_id).alias("batch_id"))
+        proj += [F.col("sink_id"), F.col("log_date")]
+        stage = stage_path(live)
+        shutil.rmtree(stage, ignore_errors=True)
+        (
+            ins.select(*proj)
+            .write.mode("overwrite")
+            .partitionBy("sink_id", "log_date")
+            .parquet(stage)
+        )
+        new_files = data_files(stage)
+        new_stats = collect_file_stats(stage, new_files,
+                                       detail_cols=cfg.stats_detail_cols,
+                                       spark=spark)
+        rows_staged = sum(s["rows"] for s in new_stats.values())
+        if rows_staged != n_ins:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"merge insert mismatch: {n_ins} -> {rows_staged}")
+        ins_schema = spark.read.parquet(
+            os.path.join(stage, new_files[0])).schema if new_files else None
+        prev_s = manifest_schema(cons_man)
+        extra = {"consolidates":
+                 tman["consolidated_ids"] + [merge_id]}
+        if cons_man and cons_man.get("deleted_rows"):
+            extra["deleted_rows"] = cons_man["deleted_rows"]
+        if ins_schema is not None:
+            extra["schema"] = (merge_schemas([prev_s, ins_schema])
+                               if prev_s is not None else
+                               ins_schema).jsonValue()
+        manifest_swap(committer, live, stage, stats=new_stats,
+                      keep_prev_files=True, extra=extra)
+        write_table_manifest(committer, root, {
+            "version": 1,
+            "consolidated_ids": tman["consolidated_ids"] + [merge_id],
+            "pending": tman.get("pending", []),
+        })
+    return {"updated_rows": updated_rows, "inserted_rows": n_ins,
+            "files_rewritten": files_rewritten,
+            "insert_batch_id": merge_id, "dirs": dirs}
+
+
 def read_routed_as_of(spark: SparkSession, cfg: PipelineConfig,
                       batch_id: str, predicates=None) -> DataFrame:
     """The routed table as of (and including) ``batch_id`` — only
@@ -1023,6 +1273,37 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     }
 
 
+def _recover_table_pointer(cfg: PipelineConfig, committer, root: str,
+                           tman: dict, man_c: dict | None) -> dict:
+    """PHASE-2 RECOVERY of the table-level commit: the consolidated
+    manifest records which ids its current generation covers
+    (``consolidates``, written atomically with the flip).  A crash
+    between the flip and the ``_TABLE.json`` put leaves ids
+    consolidated on disk but unrecorded — re-staging them would LIST
+    THEIR ROWS TWICE (``keep_prev_files`` re-lists the crashed
+    generation's files alongside the retry's).  Finish phase 2 for
+    them instead: record the ids in the table pointer and move on.
+    Returns the (possibly updated) table manifest."""
+    import time as _time  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import write_table_manifest  # noqa: PLC0415
+
+    recorded = set(tman["consolidated_ids"])
+    covered = (man_c or {}).get("consolidates", [])
+    orphans = [b for b in covered if b not in recorded]
+    if orphans:
+        now = _time.time()
+        tman = {
+            "version": 1,
+            "consolidated_ids": tman["consolidated_ids"] + orphans,
+            "pending": tman.get("pending", [])
+            + [{"batch_id": b, "superseded_at": now} for b in orphans],
+        }
+        write_table_manifest(committer, root, tman)
+        _reap_pending_dirs(cfg)
+    return tman
+
+
 def _reap_pending_dirs(cfg: PipelineConfig, now: float | None = None) -> list[str]:
     """Remove per-batch dirs superseded by a table consolidation once
     their retention window has passed (``pending`` entries in
@@ -1107,29 +1388,10 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
         "version": 1, "consolidated_ids": [], "pending": [],
     }
 
-    # PHASE-2 RECOVERY: the consolidated manifest records which ids its
-    # current generation covers ("consolidates", written atomically with
-    # the flip).  A crash between the flip and the _TABLE.json put
-    # leaves ids consolidated on disk but unrecorded — re-staging them
-    # would LIST THEIR ROWS TWICE (keep_prev_files re-lists the crashed
-    # generation's files alongside the retry's).  Finish phase 2 for
-    # them instead: record the ids in the table pointer and move on.
     from logfowd2_spark.streaming.commit import read_file_manifest  # noqa: PLC0415
 
     man_c = read_file_manifest(live)
-    recorded = set(tman["consolidated_ids"])
-    covered = (man_c or {}).get("consolidates", [])
-    orphans = [b for b in covered if b not in recorded]
-    if orphans:
-        now = _time.time()
-        tman = {
-            "version": 1,
-            "consolidated_ids": tman["consolidated_ids"] + orphans,
-            "pending": tman.get("pending", [])
-            + [{"batch_id": b, "superseded_at": now} for b in orphans],
-        }
-        write_table_manifest(committer, root, tman)
-        _reap_pending_dirs(cfg)
+    tman = _recover_table_pointer(cfg, committer, root, tman, man_c)
 
     ids = committed_batch_ids(cfg)
     if upto_batch_id is not None:
