@@ -22,8 +22,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", help="sequences parquet dir (overrides config)")
     ap.add_argument("--output", help="output root dir (overrides config)")
     ap.add_argument("--checkpoint", help="checkpoint dir (overrides config)")
-    ap.add_argument("--pods", required=True, help="pods dimension parquet")
-    ap.add_argument("--routes", required=True, help="routes map parquet")
+    ap.add_argument("--pods", help="pods dimension parquet (required to "
+                                   "run ingest batches / --redrive)")
+    ap.add_argument("--routes", help="routes map parquet (required to "
+                                     "run ingest batches)")
     ap.add_argument("--files-per-batch", type=int, default=0,
                     help="0 = single batch over the whole input")
     ap.add_argument("--master", default=None, help="spark master override")
@@ -82,8 +84,28 @@ def main(argv: list[str] | None = None) -> int:
         cfg.checkpoint_path = args.checkpoint
     if args.dedup_store:
         cfg.dedup_store_enabled = True
-    if not (cfg.input_path and cfg.output_path and cfg.checkpoint_path):
-        ap.error("input/output/checkpoint must be set via flags or config")
+    # the ingest stage needs the full surface; maintenance-only
+    # invocations (compaction / deletes / merge / vacuum against an
+    # already-committed table) need only the table root + checkpoint
+    ingest = bool(args.pods or args.routes)
+    maintenance_only = any((args.compact_table, args.delete_where,
+                            args.merge_from, args.materialize_deletes,
+                            args.vacuum_expired))
+    if ingest:
+        if not (args.pods and args.routes):
+            ap.error("--pods and --routes must be given together")
+        if not (cfg.input_path and cfg.output_path and cfg.checkpoint_path):
+            ap.error("input/output/checkpoint must be set via flags "
+                     "or config")
+    elif not maintenance_only:
+        ap.error("--pods/--routes are required to run ingest batches "
+                 "(or pass a maintenance flag: --compact-table, "
+                 "--delete-where, --merge-from, --materialize-deletes, "
+                 "--vacuum-expired)")
+    elif not (cfg.output_path and cfg.checkpoint_path):
+        ap.error("output/checkpoint must be set via flags or config")
+    if args.redrive > 0 and not args.pods:
+        ap.error("--redrive needs --pods (enrichment dimension)")
     cfg.validate()
 
     spark = build_session(master=args.master,
@@ -94,7 +116,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, cfg, args.pods, args.routes,
             files_per_batch=args.files_per_batch,
             gauges=gauges,
-        )
+        ) if ingest else []
         for m in metrics:
             print(json.dumps({
                 "rows_in": m.rows_in,
