@@ -69,6 +69,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--materialize-deletes", action="store_true",
                     help="physically apply all pending deferred-delete "
                          "tombstones (maintenance.materialize_deletes)")
+    ap.add_argument("--snapshot-log", action="store_true",
+                    help="print the routed table's snapshot logs (one "
+                         "commit-ordered generation list per dir) as "
+                         "JSON — metadata-only")
+    ap.add_argument("--rollback", metavar="DIR:GEN",
+                    help="roll one table dir back to a previous "
+                         "generation (undo a compaction/delete/merge), "
+                         "e.g. 'batch-00000:1' or '_consolidated:2'; "
+                         "publishes the old file list as a NEW "
+                         "generation (maintenance.rollback_batch)")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -90,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     ingest = bool(args.pods or args.routes)
     maintenance_only = any((args.compact_table, args.delete_where,
                             args.merge_from, args.materialize_deletes,
-                            args.vacuum_expired))
+                            args.vacuum_expired, args.snapshot_log,
+                            args.rollback))
     if ingest:
         if not (args.pods and args.routes):
             ap.error("--pods and --routes must be given together")
@@ -101,11 +112,17 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--pods/--routes are required to run ingest batches "
                  "(or pass a maintenance flag: --compact-table, "
                  "--delete-where, --merge-from, --materialize-deletes, "
-                 "--vacuum-expired)")
+                 "--vacuum-expired, --snapshot-log, --rollback)")
     elif not (cfg.output_path and cfg.checkpoint_path):
         ap.error("output/checkpoint must be set via flags or config")
     if args.redrive > 0 and not args.pods:
         ap.error("--redrive needs --pods (enrichment dimension)")
+    rollback_target = None
+    if args.rollback:
+        name, _, gen = args.rollback.rpartition(":")
+        if not name or not gen.isdigit():
+            ap.error("--rollback wants DIR:GEN, e.g. batch-00000:1")
+        rollback_target = (name, int(gen))
     cfg.validate()
 
     spark = build_session(master=args.master,
@@ -162,6 +179,17 @@ def main(argv: list[str] | None = None) -> int:
             from logfowd2_spark.streaming.maintenance import compact_table
 
             print(json.dumps({"compact_table": compact_table(spark, cfg)}))
+        if rollback_target is not None:
+            from logfowd2_spark.streaming.maintenance import rollback_batch
+
+            print(json.dumps(
+                {"rollback": rollback_batch(cfg, *rollback_target)}))
+        if args.snapshot_log:
+            from logfowd2_spark.streaming.maintenance import (
+                snapshot_log_table,
+            )
+
+            print(json.dumps({"snapshot_log": snapshot_log_table(cfg)}))
         if args.vacuum_expired:
             from logfowd2_spark.streaming.maintenance import (
                 vacuum_expired_table,

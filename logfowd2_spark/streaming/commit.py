@@ -354,6 +354,11 @@ class PutCommitter:
 
 FILE_MANIFEST = "_FILES.json"
 PUBLISH_MARKER = "_PUBLISH_READY"
+#: per-dir snapshot log: every ``manifest_swap`` archives the manifest
+#: it supersedes as ``_history/<generation>.json`` (plus its
+#: ``superseded_at``) — Iceberg's snapshot list on the plain layout.
+#: Underscore-prefixed, so data listings and vacuums never see it.
+HISTORY_DIR = "_history"
 
 
 def data_files(root: str) -> list[str]:
@@ -388,7 +393,8 @@ def write_file_manifest(committer, live: str, files: list[str],
                         generation: int = 0,
                         stats: dict[str, dict] | None = None,
                         retired: list[dict] | None = None,
-                        extra: dict | None = None) -> None:
+                        extra: dict | None = None,
+                        committed_at: float | None = None) -> None:
     """Atomically (re)publish ``live``'s manifest — the commit point of
     every generation flip.  ``stats`` (per-file ``{"rows": n, "bytes":
     b}``, keyed by relative path) is the manifest-carried metadata that
@@ -398,6 +404,11 @@ def write_file_manifest(committer, live: str, files: list[str],
     minutes of serial driver I/O, the analogue of the reference losing
     its metadata cache (metadata_cache.rs:37-100)."""
     doc: dict = {"generation": generation, "files": files}
+    if committed_at is not None:
+        # snapshot timestamp (time travel / snapshot log); taken ONCE
+        # at commit-decision time and carried through crash replays so
+        # a replayed flip keeps its original time
+        doc["committed_at"] = committed_at
     if stats is not None:
         doc["stats"] = stats
     if retired:
@@ -409,6 +420,186 @@ def write_file_manifest(committer, live: str, files: list[str],
     committer.put_file(
         os.path.join(live, FILE_MANIFEST), json.dumps(doc).encode(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot log, time travel, rollback (Iceberg's snapshot list on the
+# plain layout)
+# ---------------------------------------------------------------------------
+#
+# Every ``manifest_swap`` archives the manifest it supersedes as
+# ``_history/<generation>.json`` (stamped with ``superseded_at``)
+# before flipping the live pointer, and the live manifest carries its
+# own ``committed_at``.  Together they are the table's snapshot log:
+# ``snapshot_log`` lists it, ``read_file_manifest_at`` resolves a
+# manifest by generation or timestamp, ``snapshot_files`` additionally
+# proves the snapshot is still READABLE (its files survive only until
+# retention expiry — exactly Iceberg's contract: time travel works
+# within the snapshot-retention window, fails loudly past it), and
+# ``rollback_to_generation`` re-publishes an old file list as a NEW
+# generation (Iceberg ``rollback_to_snapshot``: history moves forward,
+# it is never rewritten).  Metadata is one small JSON per commit; the
+# expiry sweep (``vacuum_expired``) prunes log entries together with
+# the data files they describe, so the log stays bounded.
+
+
+def _history_path(live: str, generation: int) -> str:
+    return os.path.join(live, HISTORY_DIR, f"{generation}.json")
+
+
+def archive_manifest(committer, live: str, man: dict,
+                     superseded_at: float | None = None) -> None:
+    """Archive a superseded manifest into the snapshot log.  Skips when
+    the entry already exists so a crash-replayed flip neither restamps
+    ``superseded_at`` nor re-puts the object."""
+    import time as _time  # noqa: PLC0415
+
+    path = _history_path(live, man["generation"])
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    doc = dict(man)
+    doc["superseded_at"] = (_time.time() if superseded_at is None
+                            else superseded_at)
+    committer.put_file(path, json.dumps(doc).encode())
+
+
+def _history_entries(live: str) -> list[dict]:
+    hist = os.path.join(live, HISTORY_DIR)
+    out: list[dict] = []
+    try:
+        names = os.listdir(hist)
+    except OSError:
+        return out
+    for name in names:
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(hist, name)) as fh:
+                out.append(json.load(fh))
+        except (OSError, ValueError):
+            continue  # partial/corrupt entry: that snapshot is just absent
+    return sorted(out, key=lambda m: m["generation"])
+
+
+def snapshot_log(live: str) -> list[dict]:
+    """The dir's snapshot log, oldest→current: one summary row per
+    generation (``generation``, ``committed_at``, ``superseded_at`` —
+    None for the current one — ``n_files``, ``rows`` when the manifest
+    carried stats, ``is_current``).  Empty for manifest-less dirs."""
+    cur = read_file_manifest(live)
+    entries = _history_entries(live)
+    if cur is not None and (not entries
+                            or entries[-1]["generation"] < cur["generation"]):
+        entries.append(cur)
+
+    def _row(man: dict) -> dict:
+        stats = man.get("stats")
+        rows = (sum(int(stats[f]["rows"]) for f in man["files"])
+                if stats is not None and all(f in stats for f in man["files"])
+                else None)
+        return {"generation": man["generation"],
+                "committed_at": man.get("committed_at"),
+                "superseded_at": man.get("superseded_at"),
+                "n_files": len(man["files"]),
+                "rows": rows,
+                "is_current": cur is not None
+                and man["generation"] == cur["generation"]}
+
+    return [_row(m) for m in entries]
+
+
+def read_file_manifest_at(live: str, generation: int | None = None,
+                          as_of: float | None = None) -> dict:
+    """Resolve the manifest of a specific snapshot: by ``generation``,
+    or the latest whose ``committed_at`` <= ``as_of`` (timestamp time
+    travel; entries predating the committed_at stamp sort first by
+    generation and an un-stamped entry is only chosen when nothing
+    stamped qualifies — generation order IS commit order).  Raises
+    ``LookupError`` when no snapshot matches: absent from the log means
+    expired or never existed, and silently returning the current
+    generation would be a wrong-answer bug."""
+    if (generation is None) == (as_of is None):
+        raise ValueError("pass exactly one of generation / as_of")
+    cur = read_file_manifest(live)
+    entries = _history_entries(live)
+    if cur is not None and (not entries
+                            or entries[-1]["generation"] < cur["generation"]):
+        entries.append(cur)
+    if generation is not None:
+        for man in entries:
+            if man["generation"] == generation:
+                return man
+        raise LookupError(
+            f"no snapshot with generation {generation} under {live!r} "
+            f"(have {[m['generation'] for m in entries]}) — expired or "
+            f"never committed")
+    best = None
+    fallback = None  # newest UN-stamped entry — only wins when no
+    for man in entries:  # generation order == commit order
+        ts = man.get("committed_at")
+        if ts is None:
+            fallback = man  # stamped entry qualifies (its commit time
+        elif ts <= as_of:  # is unknown, possibly AFTER as_of)
+            best = man
+    if best is None:
+        best = fallback
+    if best is None:
+        raise LookupError(
+            f"no snapshot committed at or before {as_of} under {live!r}")
+    return best
+
+
+def snapshot_files(live: str, generation: int | None = None,
+                   as_of: float | None = None) -> list[str]:
+    """The resolved snapshot's file list, VERIFIED readable: every file
+    must still exist (current files, or retired ones inside the
+    retention window).  Raises ``FileNotFoundError`` naming the missing
+    files when the snapshot has expired — loud, never a partial read."""
+    man = read_file_manifest_at(live, generation=generation, as_of=as_of)
+    missing = [f for f in man["files"]
+               if not os.path.exists(os.path.join(live, f))]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot generation {man['generation']} under {live!r} has "
+            f"expired: {len(missing)} of {len(man['files'])} files vacuumed "
+            f"(first: {missing[0]!r})")
+    return list(man["files"])
+
+
+def rollback_to_generation(committer, live: str, generation: int) -> dict:
+    """Roll the dir back to ``generation``'s file list by publishing it
+    as a NEW generation (current+1) — history only moves forward, so
+    the rollback is itself a snapshot and itself reversible.  The
+    now-superseded current files retire under the retention window
+    (they are NOT deleted here).  Requires the target snapshot to still
+    be readable (inside retention).  Returns the new manifest."""
+    import time as _time  # noqa: PLC0415
+
+    target = read_file_manifest_at(live, generation=generation)
+    snapshot_files(live, generation=generation)  # readable, or raise
+    cur = read_file_manifest(live)
+    if cur is None:
+        raise LookupError(f"no current manifest under {live!r}")
+    if cur["generation"] == generation:
+        return cur  # already there
+    now = _time.time()
+    new_gen = cur["generation"] + 1
+    retired = list(cur.get("retired", []))
+    gone = [f for f in cur["files"] if f not in set(target["files"])]
+    if gone:
+        retired.append({"generation": cur["generation"], "files": gone,
+                        "superseded_at": now})
+    known = {"generation", "files", "stats", "retired",
+             "committed_at", "superseded_at"}
+    archive_manifest(committer, live, cur, superseded_at=now)
+    write_file_manifest(
+        committer, live, list(target["files"]), new_gen,
+        stats=target.get("stats"), retired=retired,
+        committed_at=now,
+        extra={**{k: v for k, v in target.items() if k not in known},
+               "rollback_of": generation})
+    return read_file_manifest(live)
 
 
 #: longest string bound stored in a manifest — a column whose min/max
@@ -1004,13 +1195,13 @@ def vacuum_expired(committer, live: str, retention_s: float,
     import time as _time  # noqa: PLC0415
 
     man = read_file_manifest(live)
-    if man is None or not man.get("retired"):
+    if man is None:
         return []
     now = _time.time() if now is None else now
     keep_current = set(man["files"])
     remaining: list[dict] = []
     removed: list[str] = []
-    for ent in man["retired"]:
+    for ent in man.get("retired", []):
         if now - ent["superseded_at"] >= retention_s:
             for rel in ent["files"]:
                 if rel in keep_current:
@@ -1022,7 +1213,7 @@ def vacuum_expired(committer, live: str, retention_s: float,
                 removed.append(rel)
         else:
             remaining.append(ent)
-    if len(remaining) != len(man["retired"]):
+    if len(remaining) != len(man.get("retired", [])):
         # preserve table-specific metadata keys (e.g. the consolidation
         # phase-1 record) across the rewrite
         known = {"generation", "files", "stats", "retired"}
@@ -1032,6 +1223,17 @@ def vacuum_expired(committer, live: str, retention_s: float,
                             extra={k: v for k, v in man.items()
                                    if k not in known})
         _prune_empty_dirs(live)
+    # expire the snapshot LOG together with the data it described
+    # (Iceberg expire_snapshots removes the snapshot metadata too):
+    # archived manifests whose supersession is past the window go away,
+    # keeping the log bounded at ~retention_window/commit_interval
+    # entries no matter how many commits the dir has seen
+    for ent in _history_entries(live):
+        if now - ent.get("superseded_at", now) >= retention_s:
+            try:
+                os.remove(_history_path(live, ent["generation"]))
+            except OSError:
+                pass
     return removed
 
 
@@ -1054,10 +1256,20 @@ def _publish_from_marker(committer, staged: str, live: str,
         dst = os.path.join(live, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         committer.put_file(dst, src_path=os.path.join(staged, rel))
+    # archive the manifest this flip supersedes into the snapshot log —
+    # BEFORE the flip, so no window exists where the old pointer is
+    # gone from both places.  Guards make the replay idempotent: skip
+    # when the archive already exists, and skip when the live manifest
+    # already IS the new generation (crash after the flip).
+    prev = read_file_manifest(live)
+    if prev is not None and prev["generation"] < marker["generation"]:
+        archive_manifest(committer, live, prev,
+                         superseded_at=marker.get("committed_at"))
     write_file_manifest(committer, live, marker["files"],
                         marker["generation"], stats=marker.get("stats"),
                         retired=marker.get("retired"),
-                        extra=marker.get("extra"))
+                        extra=marker.get("extra"),
+                        committed_at=marker.get("committed_at"))
     if vacuum:
         # retired entries are protected inside vacuum_unreferenced, so
         # this only reaps genuinely untracked debris on a retained swap
@@ -1143,6 +1355,7 @@ def manifest_swap(committer, live: str, staged: str,
         os.path.join(staged, PUBLISH_MARKER),
         json.dumps({"generation": gen, "files": files,
                     "publish": staged_files,
+                    "committed_at": _time.time(),
                     "stats": stats, "retired": retired,
                     "extra": extra or {}}).encode(),
     )

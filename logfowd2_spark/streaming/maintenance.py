@@ -566,7 +566,10 @@ def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
             f"delete rewrite mismatch in {live}: kept {rows_staged}, "
             f"expected {rows_hit} - {n_matched}"
         )
-    known = {"generation", "files", "stats", "retired"}
+    # committed_at stays OUT of the carried extra: the flip is a new
+    # snapshot and manifest_swap stamps its own commit time
+    known = {"generation", "files", "stats", "retired",
+             "committed_at", "superseded_at"}
     extra = {k: v for k, v in man.items() if k not in known}
     extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
     if clear_filters:
@@ -736,7 +739,8 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
                 f"merge rewrite mismatch in {tgt}: {rows_hit} -> "
                 f"{rows_staged}"
             )
-        known = {"generation", "files", "stats", "retired"}
+        known = {"generation", "files", "stats", "retired",
+                 "committed_at", "superseded_at"}  # flip stamps its own
         extra = {k: v for k, v in man.items() if k not in known}
         manifest_swap(committer, tgt, stage, stats=new_stats,
                       keep_prev_files=True, drop_files=hit,
@@ -905,6 +909,104 @@ def vacuum_expired_table(cfg: PipelineConfig,
     if reaped:
         out["pending_batch_dirs"] = reaped
     return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot log, time travel by generation/timestamp, rollback
+# ---------------------------------------------------------------------------
+#
+# ``read_routed_as_of`` answers the BATCH axis of time travel (the table
+# as of a committed ingest batch).  These answer the GENERATION axis: a
+# single dir's history across in-place rewrites — compactions, deletes,
+# merges — each of which flipped its ``_FILES.json`` and archived the
+# superseded manifest into ``_history/`` (commit.manifest_swap).  This
+# is Iceberg's snapshot list / ``rollback_to_snapshot`` on the plain
+# layout; all three are metadata-only except the snapshot read itself.
+
+
+def _resolve_table_dir(cfg: PipelineConfig, name: str) -> str:
+    from logfowd2_spark.streaming.commit import CONSOLIDATED_DIR  # noqa: PLC0415
+
+    root = os.path.join(cfg.output_path, "routed")
+    if name == CONSOLIDATED_DIR or name.startswith("batch_id="):
+        return os.path.join(root, name)
+    return os.path.join(root, f"batch_id={name}")
+
+
+def snapshot_log_table(cfg: PipelineConfig) -> dict[str, list[dict]]:
+    """The whole routed table's snapshot logs: one entry per manifest-
+    bearing dir (per-batch dirs + the consolidated generation), each a
+    commit-ordered list of {generation, committed_at, superseded_at,
+    n_files, rows, is_current}.  Metadata-only — small JSON reads, no
+    listings, no Spark job."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, snapshot_log,
+    )
+
+    root = os.path.join(cfg.output_path, "routed")
+    out: dict[str, list[dict]] = {}
+    if not os.path.isdir(root):
+        return out
+    names = [n for n in sorted(os.listdir(root))
+             if n.startswith("batch_id=")]
+    if os.path.isdir(os.path.join(root, CONSOLIDATED_DIR)):
+        names.append(CONSOLIDATED_DIR)
+    for name in names:
+        log = snapshot_log(os.path.join(root, name))
+        if log:
+            out[name] = log
+    return out
+
+
+def read_batch_snapshot(spark: SparkSession, cfg: PipelineConfig,
+                        name: str, generation: int | None = None,
+                        as_of: float | None = None) -> DataFrame:
+    """Read ONE dir of the routed table pinned to a historical
+    snapshot — by ``generation``, or the latest committed at/before the
+    ``as_of`` timestamp.  The snapshot's file list is verified readable
+    first (expired past the retention window → loud FileNotFoundError,
+    never a partial read), the scan is planned over exactly those files
+    under the snapshot's own manifest schema, and the snapshot's OWN
+    deferred-delete tombstones apply — a later delete does not leak
+    backward in time."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        manifest_schema, read_file_manifest, read_file_manifest_at,
+        snapshot_files,
+    )
+
+    d = _resolve_table_dir(cfg, name)
+    if generation is None and as_of is None:
+        man = read_file_manifest(d)  # no selector = current snapshot
+        if man is None:
+            raise LookupError(f"no manifest under {d!r}")
+    else:
+        man = read_file_manifest_at(d, generation=generation, as_of=as_of)
+    rels = snapshot_files(d, generation=man["generation"])
+    sch = manifest_schema(man)
+    rd = spark.read.schema(sch) if sch is not None else spark.read
+    df = rd.option("basePath", d).parquet(
+        *[os.path.join(d, rel) for rel in rels])
+    return apply_delete_filters(df, man)
+
+
+def rollback_batch(cfg: PipelineConfig, name: str,
+                   generation: int) -> dict:
+    """Roll one dir back to ``generation`` (undo a compaction, delete,
+    or merge on that dir) by publishing the old file list as a NEW
+    generation — history only moves forward (commit.
+    rollback_to_generation).  The superseded current files retire under
+    the retention window.  Requires the target snapshot to still be
+    readable.  Returns {dir, rolled_back_to, generation_now, n_files}."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, rollback_to_generation,
+    )
+
+    d = _resolve_table_dir(cfg, name)
+    committer = get_committer(cfg.commit_protocol)
+    man = rollback_to_generation(committer, d, generation)
+    return {"dir": os.path.basename(d), "rolled_back_to": generation,
+            "generation_now": man["generation"],
+            "n_files": len(man["files"])}
 
 
 def export_ndjson_bulk(spark: SparkSession, cfg: PipelineConfig,

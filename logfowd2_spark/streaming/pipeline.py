@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import shutil
 import os
+import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -332,6 +333,7 @@ def execute_unified_batch(
     data_schema = unified.drop("sink_id", "log_date").schema
     write_file_manifest(committer, out_dir, routed_files, generation=0,
                         stats={f: stats_all[f] for f in routed_files},
+                        committed_at=time.time(),
                         extra={"schema": data_schema.jsonValue()})
     if os.path.isdir(dlq_batch_dir):
         # the moved quarantine files keep their (unique) basenames and
