@@ -591,15 +591,67 @@ def rollback_to_generation(committer, live: str, generation: int) -> dict:
         retired.append({"generation": cur["generation"], "files": gone,
                         "superseded_at": now})
     known = {"generation", "files", "stats", "retired",
-             "committed_at", "superseded_at"}
+             "committed_at", "superseded_at", "operation", "added"}
     archive_manifest(committer, live, cur, superseded_at=now)
     write_file_manifest(
         committer, live, list(target["files"]), new_gen,
         stats=target.get("stats"), retired=retired,
         committed_at=now,
         extra={**{k: v for k, v in target.items() if k not in known},
-               "rollback_of": generation})
+               "rollback_of": generation,
+               # content jumps to an arbitrary past state: incremental
+               # readers must refuse ranges crossing a rollback
+               "operation": "rollback", "added": []})
     return read_file_manifest(live)
+
+
+def incremental_files(live: str, from_generation: int,
+                      to_generation: int | None = None) -> list[dict]:
+    """The APPEND lineage of ``live`` over ``(from_generation,
+    to_generation]`` — Iceberg's incremental append scan on the plain
+    layout.  Returns one ``{"generation", "files", "stats"}`` entry per
+    append snapshot in the range, where ``files`` is exactly what that
+    snapshot added; ``replace`` snapshots (compactions — row-count-
+    verified content-preserving rewrites) are SKIPPED, and any snapshot
+    that changed logical content (``overwrite`` = COW delete / merge
+    update, ``rollback``, or a pre-lineage legacy flip whose kind is
+    unknowable) raises ``ValueError``: an incremental reader that
+    silently returned appends across a delete would resurrect retracted
+    rows downstream.  Files are verified still present (an appended
+    file rewritten by a later compaction survives as a retired
+    retention copy only inside the window — expired → loud
+    FileNotFoundError, exactly ``snapshot_files``'s contract)."""
+    cur = read_file_manifest(live)
+    if cur is None:
+        raise LookupError(f"no manifest under {live!r}")
+    if to_generation is None:
+        to_generation = cur["generation"]
+    # anchor must still resolve: a vacuumed-away from_generation means
+    # the incremental chain is broken, not empty
+    read_file_manifest_at(live, generation=from_generation)
+    out: list[dict] = []
+    for gen in range(from_generation + 1, to_generation + 1):
+        man = read_file_manifest_at(live, generation=gen)
+        op = man.get("operation")
+        if op == "replace":
+            continue
+        if op != "append":
+            raise ValueError(
+                f"generation {gen} of {live!r} is "
+                f"{op or 'of unknown kind (pre-lineage)'} — incremental "
+                f"append read is undefined across it")
+        added = man.get("added", [])
+        missing = [f for f in added
+                   if not os.path.exists(os.path.join(live, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"incremental read of {live!r} generation {gen}: "
+                f"{len(missing)} of {len(added)} appended files expired "
+                f"(first: {missing[0]!r})")
+        stats = man.get("stats") or {}
+        out.append({"generation": gen, "files": list(added),
+                    "stats": {f: stats[f] for f in added if f in stats}})
+    return out
 
 
 #: longest string bound stored in a manifest — a column whose min/max
@@ -1265,10 +1317,16 @@ def _publish_from_marker(committer, staged: str, live: str,
     if prev is not None and prev["generation"] < marker["generation"]:
         archive_manifest(committer, live, prev,
                          superseded_at=marker.get("committed_at"))
+    extra = dict(marker.get("extra") or {})
+    if "operation" in marker:
+        # snapshot lineage for incremental readers: what KIND of change
+        # this flip was, and which files it physically added
+        extra["operation"] = marker["operation"]
+        extra["added"] = marker.get("publish", marker["files"])
     write_file_manifest(committer, live, marker["files"],
                         marker["generation"], stats=marker.get("stats"),
                         retired=marker.get("retired"),
-                        extra=marker.get("extra"),
+                        extra=extra,
                         committed_at=marker.get("committed_at"))
     if vacuum:
         # retired entries are protected inside vacuum_unreferenced, so
@@ -1351,11 +1409,24 @@ def manifest_swap(committer, live: str, staged: str,
                 "files": prev,
                 "superseded_at": _time.time(),
             })
+    # classify the flip for incremental readers (Iceberg snapshot
+    # `operation`): a consolidating append adds logical rows; a partial
+    # rewrite (COW delete / merge update) changes logical content; a
+    # full rewrite (compaction) preserves it — the row-count verify
+    # every caller runs before flipping is what makes "replace" safe to
+    # SKIP in an incremental scan.  Callers may override via extra.
+    if extra and "operation" in extra:
+        operation = extra["operation"]
+    elif keep_prev_files:
+        operation = "overwrite" if drop_files else "append"
+    else:
+        operation = "replace"
     committer.put_file(
         os.path.join(staged, PUBLISH_MARKER),
         json.dumps({"generation": gen, "files": files,
                     "publish": staged_files,
                     "committed_at": _time.time(),
+                    "operation": operation,
                     "stats": stats, "retired": retired,
                     "extra": extra or {}}).encode(),
     )

@@ -566,10 +566,12 @@ def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
             f"delete rewrite mismatch in {live}: kept {rows_staged}, "
             f"expected {rows_hit} - {n_matched}"
         )
-    # committed_at stays OUT of the carried extra: the flip is a new
-    # snapshot and manifest_swap stamps its own commit time
+    # committed_at/operation/added stay OUT of the carried extra: the
+    # flip is a new snapshot and manifest_swap stamps its own commit
+    # time and lineage (inheriting the previous generation's "append"
+    # would let an incremental reader scan straight across this delete)
     known = {"generation", "files", "stats", "retired",
-             "committed_at", "superseded_at"}
+             "committed_at", "superseded_at", "operation", "added"}
     extra = {k: v for k, v in man.items() if k not in known}
     extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
     if clear_filters:
@@ -739,8 +741,8 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
                 f"merge rewrite mismatch in {tgt}: {rows_hit} -> "
                 f"{rows_staged}"
             )
-        known = {"generation", "files", "stats", "retired",
-                 "committed_at", "superseded_at"}  # flip stamps its own
+        known = {"generation", "files", "stats", "retired", "committed_at",
+                 "superseded_at", "operation", "added"}  # flip stamps its own
         extra = {k: v for k, v in man.items() if k not in known}
         manifest_swap(committer, tgt, stage, stats=new_stats,
                       keep_prev_files=True, drop_files=hit,
@@ -987,6 +989,78 @@ def read_batch_snapshot(spark: SparkSession, cfg: PipelineConfig,
     df = rd.option("basePath", d).parquet(
         *[os.path.join(d, rel) for rel in rels])
     return apply_delete_filters(df, man)
+
+
+def read_appended_between(spark: SparkSession, cfg: PipelineConfig,
+                          name: str, from_generation: int,
+                          to_generation: int | None = None) -> DataFrame:
+    """Incremental (CDC-style) read of ONE dir: exactly the rows
+    appended over ``(from_generation, to_generation]`` — Iceberg's
+    incremental append scan.  ``replace`` snapshots (compactions) in
+    the range are skipped (content-preserving by the row-count verify);
+    ``overwrite``/``rollback``/legacy snapshots raise (commit.
+    incremental_files — appends scanned across a delete would
+    resurrect retracted rows).  The scan is planned over only the
+    appended files under the merged manifest schemas, with the
+    TO-snapshot's delete tombstones applied (as-of semantics)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        incremental_files, manifest_schema, merge_schemas,
+        read_file_manifest, read_file_manifest_at,
+    )
+
+    d = _resolve_table_dir(cfg, name)
+    entries = incremental_files(d, from_generation, to_generation)
+    if to_generation is None:  # default = current snapshot (its
+        man_to = read_file_manifest(d)  # tombstones included)
+    else:
+        man_to = read_file_manifest_at(d, generation=to_generation)
+    if not entries:
+        # provably nothing appended in the range: empty result, planned
+        # without touching storage when the schema is known
+        sch = manifest_schema(man_to)
+        if sch is not None:
+            return spark.createDataFrame([], sch)
+        return (spark.read.option("basePath", d).parquet(d)
+                .filter(F.lit(False)))
+    mans = [read_file_manifest_at(d, generation=e["generation"])
+            for e in entries]
+    schemas = [manifest_schema(m) for m in mans]
+    merged = (merge_schemas([s for s in schemas if s is not None])
+              if all(s is not None for s in schemas) and schemas else None)
+    rd = spark.read.schema(merged) if merged is not None else spark.read
+    paths = [os.path.join(d, f) for e in entries for f in e["files"]]
+    return apply_delete_filters(
+        rd.option("basePath", d).parquet(*paths), man_to)
+
+
+def read_routed_between(spark: SparkSession, cfg: PipelineConfig,
+                        from_batch: str, to_batch: str | None = None,
+                        predicates=None) -> DataFrame:
+    """Incremental read of the WHOLE routed table on the batch axis:
+    the rows of every batch committed AFTER ``from_batch`` up to and
+    including ``to_batch`` (default: the latest commit) — the feed a
+    downstream consumer tails instead of re-scanning 100 TB.  Batch
+    commits are append-only at the table level, so this is always
+    sound; each batch resolves through the manifest layers
+    (``table_scan``), so consolidation/compaction racing the read is
+    invisible and already-consolidated ids still answer exactly."""
+    recover_compactions(cfg)
+    ids = committed_batch_ids(cfg)
+    if from_batch not in ids:
+        raise ValueError(f"batch {from_batch!r} is not committed")
+    lo = ids.index(from_batch) + 1
+    if to_batch is None:
+        hi = len(ids)
+    else:
+        if to_batch not in ids:
+            raise ValueError(f"batch {to_batch!r} is not committed")
+        hi = ids.index(to_batch) + 1
+    if hi < lo:
+        raise ValueError(
+            f"{to_batch!r} was committed before {from_batch!r}")
+    return table_scan(spark, cfg, ids[lo:hi], predicates=predicates)
 
 
 def rollback_batch(cfg: PipelineConfig, name: str,

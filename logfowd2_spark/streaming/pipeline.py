@@ -334,7 +334,11 @@ def execute_unified_batch(
     write_file_manifest(committer, out_dir, routed_files, generation=0,
                         stats={f: stats_all[f] for f in routed_files},
                         committed_at=time.time(),
-                        extra={"schema": data_schema.jsonValue()})
+                        extra={"schema": data_schema.jsonValue(),
+                               # snapshot lineage: the batch's first
+                               # commit appends everything it lists
+                               "operation": "append",
+                               "added": routed_files})
     if os.path.isdir(dlq_batch_dir):
         # the moved quarantine files keep their (unique) basenames and
         # contents, so the pre-move stats carry over 1:1
