@@ -590,8 +590,8 @@ def rollback_to_generation(committer, live: str, generation: int) -> dict:
     if gone:
         retired.append({"generation": cur["generation"], "files": gone,
                         "superseded_at": now})
-    known = {"generation", "files", "stats", "retired",
-             "committed_at", "superseded_at", "operation", "added"}
+    known = {"generation", "files", "stats", "retired", "committed_at",
+             "superseded_at", "operation", "added", "tombstones_added"}
     archive_manifest(committer, live, cur, superseded_at=now)
     write_file_manifest(
         committer, live, list(target["files"]), new_gen,
@@ -651,6 +651,114 @@ def incremental_files(live: str, from_generation: int,
         stats = man.get("stats") or {}
         out.append({"generation": gen, "files": list(added),
                     "stats": {f: stats[f] for f in added if f in stats}})
+    return out
+
+
+def commit_metadata_snapshot(committer, live: str, man: dict,
+                             updates: dict, operation: str,
+                             lineage_extra: dict | None = None) -> dict:
+    """Publish a metadata-only change (same files, same stats) as a NEW
+    snapshot: archive the current manifest into the log and flip to
+    generation+1 with ``updates`` applied to the extra metadata (a None
+    value drops the key).  Cost is two small JSON puts — O(1) in table
+    size, like Iceberg committing a delete-file snapshot — but unlike
+    an in-place rewrite the change is part of history: time travel to
+    the prior generation shows the table WITHOUT it, and the changelog
+    can attribute it.  Used for deferred-delete tombstones, whose
+    in-place predecessor silently edited already-committed snapshots
+    (a tombstone applied at read time to generation g's manifest
+    retroactively changed what ``read_batch_snapshot(generation=g)``
+    returned)."""
+    import time as _time  # noqa: PLC0415
+
+    now = _time.time()
+    known = {"generation", "files", "stats", "retired", "committed_at",
+             "superseded_at", "operation", "added", "tombstones_added"}
+    extra = {k: v for k, v in man.items() if k not in known}
+    for k, v in updates.items():
+        if v is None:
+            extra.pop(k, None)
+        else:
+            extra[k] = v
+    extra["operation"] = operation
+    extra["added"] = []
+    if lineage_extra:
+        extra.update(lineage_extra)
+    archive_manifest(committer, live, man, superseded_at=now)
+    write_file_manifest(committer, live, list(man["files"]),
+                        man["generation"] + 1, stats=man.get("stats"),
+                        retired=man.get("retired"), committed_at=now,
+                        extra=extra)
+    return read_file_manifest(live)
+
+
+def changelog_entries(live: str, from_generation: int,
+                      to_generation: int | None = None) -> list[dict]:
+    """The CHANGE lineage of ``live`` over ``(from_generation,
+    to_generation]`` — the metadata half of an Iceberg changelog scan,
+    the general sibling of ``incremental_files`` that handles deletes
+    instead of refusing them.  One entry per content-changing snapshot
+    in the range, carrying the file diff against the previous snapshot
+    (``added`` / ``dropped`` / ``kept``) and the tombstone diff
+    (``filters_added`` / ``filters_removed``), plus each side's FULL
+    filter list (``filters_prev`` / ``filters_new``) so a reader can
+    compute the exact logical diff: rows visible under the previous
+    snapshot's filters minus rows visible under the new one's.
+
+    ``replace`` snapshots (compactions, tombstone materializations) are
+    elided AND advanced over: every rewrite row-count-verifies logical
+    content before flipping, so diffing straight across one is exact —
+    and restricting later diffs to files changed SINCE the rewrite keeps
+    the cost proportional to actual churn, never to compaction volume.
+    A legacy snapshot (no recorded operation) raises ValueError — its
+    kind is unknowable, and guessing could fabricate or hide changes.
+    ``added``/``dropped`` files are verified still present (dropped
+    files live on as retention copies; expired → FileNotFoundError,
+    ``snapshot_files``'s contract)."""
+    cur = read_file_manifest(live)
+    if cur is None:
+        raise LookupError(f"no manifest under {live!r}")
+    if to_generation is None:
+        to_generation = cur["generation"]
+    man_prev = read_file_manifest_at(live, generation=from_generation)
+    out: list[dict] = []
+    for gen in range(from_generation + 1, to_generation + 1):
+        man = read_file_manifest_at(live, generation=gen)
+        op = man.get("operation")
+        if op is None:
+            raise ValueError(
+                f"generation {gen} of {live!r} is of unknown kind "
+                f"(pre-lineage) — changelog read is undefined across it")
+        if op == "replace":
+            man_prev = man  # content-preserving: diff across it
+            continue
+        prev_files = set(man_prev["files"])
+        cur_files = set(man["files"])
+        added = sorted(cur_files - prev_files)
+        dropped = sorted(prev_files - cur_files)
+        filters_prev = [list(map(list, e))
+                        for e in man_prev.get("delete_filters") or []]
+        filters_new = [list(map(list, e))
+                       for e in man.get("delete_filters") or []]
+        missing = [f for f in added + dropped
+                   if not os.path.exists(os.path.join(live, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"changelog read of {live!r} generation {gen}: "
+                f"{len(missing)} changed files expired "
+                f"(first: {missing[0]!r})")
+        out.append({
+            "generation": gen, "operation": op,
+            "added": added, "dropped": dropped,
+            "kept": sorted(cur_files & prev_files),
+            "filters_prev": filters_prev, "filters_new": filters_new,
+            "filters_added": [e for e in filters_new
+                              if e not in filters_prev],
+            "filters_removed": [e for e in filters_prev
+                                if e not in filters_new],
+            "man": man, "man_prev": man_prev,
+        })
+        man_prev = man
     return out
 
 

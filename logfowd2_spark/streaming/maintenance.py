@@ -319,8 +319,8 @@ def delete_where(spark: SparkSession, cfg: PipelineConfig,
     import json as _json  # noqa: PLC0415
 
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        CONSOLIDATED_DIR, get_committer, prune_manifest_files,
-        read_file_manifest, read_table_manifest,
+        CONSOLIDATED_DIR, commit_metadata_snapshot, get_committer,
+        prune_manifest_files, read_file_manifest, read_table_manifest,
     )
 
     if mode not in ("cow", "defer"):
@@ -377,8 +377,16 @@ def delete_where(spark: SparkSession, cfg: PipelineConfig,
             filters = list(man.get("delete_filters") or [])
             if entry not in filters:  # idempotent re-runs
                 filters.append(entry)
-                _rewrite_manifest_extra(committer, live, man,
-                                        {"delete_filters": filters})
+                # the tombstone is a SNAPSHOT (generation+1, operation
+                # "overwrite"), not an in-place edit: still two small
+                # JSON puts — O(1) in table size — but time travel to
+                # the prior generation shows the rows, the changelog
+                # attributes the delete, and incremental append readers
+                # correctly refuse to scan across it
+                commit_metadata_snapshot(
+                    committer, live, man, {"delete_filters": filters},
+                    operation="overwrite",
+                    lineage_extra={"tombstones_added": [entry]})
             dirs_d[os.path.basename(live)] = {
                 "tombstoned": True, "filters": len(filters),
             }
@@ -570,8 +578,8 @@ def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
     # flip is a new snapshot and manifest_swap stamps its own commit
     # time and lineage (inheriting the previous generation's "append"
     # would let an incremental reader scan straight across this delete)
-    known = {"generation", "files", "stats", "retired",
-             "committed_at", "superseded_at", "operation", "added"}
+    known = {"generation", "files", "stats", "retired", "committed_at",
+             "superseded_at", "operation", "added", "tombstones_added"}
     extra = {k: v for k, v in man.items() if k not in known}
     extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
     if clear_filters:
@@ -741,8 +749,9 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
                 f"merge rewrite mismatch in {tgt}: {rows_hit} -> "
                 f"{rows_staged}"
             )
-        known = {"generation", "files", "stats", "retired", "committed_at",
-                 "superseded_at", "operation", "added"}  # flip stamps its own
+        known = {"generation", "files", "stats", "retired",
+                 "committed_at", "superseded_at", "operation", "added",
+                 "tombstones_added"}  # flip stamps its own
         extra = {k: v for k, v in man.items() if k not in known}
         manifest_swap(committer, tgt, stage, stats=new_stats,
                       keep_prev_files=True, drop_files=hit,
@@ -1033,6 +1042,135 @@ def read_appended_between(spark: SparkSession, cfg: PipelineConfig,
     paths = [os.path.join(d, f) for e in entries for f in e["files"]]
     return apply_delete_filters(
         rd.option("basePath", d).parquet(*paths), man_to)
+
+
+def read_changes_between(spark: SparkSession, cfg: PipelineConfig,
+                         name: str, from_generation: int,
+                         to_generation: int | None = None) -> DataFrame:
+    """CDC changelog read of ONE dir: the exact row-level changes
+    committed over ``(from_generation, to_generation]`` — Iceberg's
+    ``create_changelog_view`` on the plain layout, and the general
+    sibling of ``read_appended_between`` for ranges that contain
+    deletes.  Returns the data columns plus ``_change_type``
+    (``'insert'`` / ``'delete'``; an update is a delete+insert pair,
+    standard CDC) and ``_change_generation`` (which snapshot committed
+    the change — order by it to replay).
+
+    Exactness comes from diffing each snapshot's LOGICAL content
+    restricted to what its flip physically touched, each side under its
+    own snapshot's tombstones (``commit.changelog_entries``):
+
+    - appends contribute their added files' visible rows as inserts;
+    - rewrites (COW delete, MERGE) diff dropped-vs-added files with
+      ``exceptAll`` (multiset-exact, so duplicate rows and rewritten-
+      but-unchanged rows cancel);
+    - tombstone snapshots contribute the kept-file rows newly hidden by
+      the added filter entries (files pruned by manifest bounds and
+      membership first);
+    - compactions and tombstone materializations are elided entirely —
+      and the per-side filters make the generic diff yield exactly zero
+      rows for them anyway, since a materialization's dropped rows were
+      already invisible.
+
+    Cost scales with CHURN, never table size: a 100 TB table whose flip
+    rewrote 2 files diffs 2 files (the ``exceptAll`` shuffle covers
+    only changed-file rows).  Invariant (test_changelog):
+    ``snapshot(from) ⊎ inserts ∖ deletes == snapshot(to)`` as
+    multisets."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        changelog_entries, manifest_schema, merge_schemas,
+        prune_manifest_files,
+    )
+
+    d = _resolve_table_dir(cfg, name)
+    steps = changelog_entries(d, from_generation, to_generation)
+    schemas = [manifest_schema(m) for st in steps
+               for m in (st["man_prev"], st["man"])]
+    merged = (merge_schemas(schemas)
+              if schemas and all(s is not None for s in schemas) else None)
+
+    def _read(files):
+        rd = spark.read.schema(merged) if merged is not None else spark.read
+        return rd.option("basePath", d).parquet(
+            *[os.path.join(d, f) for f in files])
+
+    def _vis(df, entries):
+        # the side's own snapshot tombstones applied
+        return apply_delete_filters(df, {"delete_filters": entries})
+
+    def _match_any(df, entries):
+        expr = None
+        for entry in entries:
+            e = predicate_expr([tuple(p) for p in entry])
+            if e is None:
+                continue
+            e = e.eqNullSafe(F.lit(True))
+            expr = e if expr is None else (expr | e)
+        return df.filter(expr) if expr is not None else df.filter(F.lit(False))
+
+    def _kept_candidates(st, entries):
+        cand = sorted({f for e in entries
+                       for f in prune_manifest_files(
+                           st["man"], [tuple(p) for p in e],
+                           files=st["kept"])})
+        missing = [f for f in cand
+                   if not os.path.exists(os.path.join(d, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"changelog read of {d!r} generation "
+                f"{st['generation']}: {len(missing)} kept files expired "
+                f"(first: {missing[0]!r})")
+        return cand
+
+    parts: list[DataFrame] = []
+
+    def _tag(df, kind, gen):
+        parts.append(df.select(
+            "*", F.lit(kind).alias("_change_type"),
+            F.lit(gen).cast("int").alias("_change_generation")))
+
+    for st in steps:
+        g = st["generation"]
+        vis_dropped = (_vis(_read(st["dropped"]), st["filters_prev"])
+                       if st["dropped"] else None)
+        vis_added = (_vis(_read(st["added"]), st["filters_new"])
+                     if st["added"] else None)
+        if vis_dropped is not None and vis_added is not None:
+            _tag(vis_dropped.exceptAll(vis_added), "delete", g)
+            _tag(vis_added.exceptAll(vis_dropped), "insert", g)
+        elif vis_dropped is not None:
+            _tag(vis_dropped, "delete", g)
+        elif vis_added is not None:
+            _tag(vis_added, "insert", g)
+        # kept files: rows newly hidden by added tombstone entries are
+        # deletes; rows re-exposed by removed entries are inserts (the
+        # materialization path clears entries only after physically
+        # removing their matches, so this side is provably empty there
+        # — but the formula stays exact if a future writer differs)
+        if st["filters_added"] and st["kept"]:
+            cand = _kept_candidates(st, st["filters_added"])
+            if cand:
+                _tag(_match_any(_vis(_read(cand), st["filters_prev"]),
+                                st["filters_added"]), "delete", g)
+        if st["filters_removed"] and st["kept"]:
+            cand = _kept_candidates(st, st["filters_removed"])
+            if cand:
+                _tag(_match_any(_vis(_read(cand), st["filters_new"]),
+                                st["filters_removed"]), "insert", g)
+
+    if not parts:
+        base = (spark.createDataFrame([], merged) if merged is not None
+                else spark.read.option("basePath", d).parquet(d)
+                .filter(F.lit(False)))
+        return base.select(
+            "*", F.lit(None).cast("string").alias("_change_type"),
+            F.lit(None).cast("int").alias("_change_generation"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_routed_between(spark: SparkSession, cfg: PipelineConfig,

@@ -263,11 +263,14 @@ def test_defer_is_metadata_only_and_applied_at_scan(spark,
     res = delete_where(spark, cfg, [("pod_name", "==", pod)],
                        mode="defer")
     assert res["deferred"] and res["dirs"]
-    # METADATA-ONLY: no generation flip, no file rewritten
+    # METADATA-ONLY in cost (no file rewritten, no Spark job) but a
+    # real SNAPSHOT: generation+1, operation recorded, files unchanged
     for p, (g, files) in snap.items():
         man = read_file_manifest(p)
-        assert (man["generation"], tuple(man["files"])) == (g, files)
+        assert (man["generation"], tuple(man["files"])) == (g + 1, files)
         assert man["delete_filters"] == [[["pod_name", "==", pod]]]
+        assert man["operation"] == "overwrite"
+        assert man["tombstones_added"] == [[["pod_name", "==", pod]]]
     # ...but every read path applies the tombstone
     after = _norm(read_routed(spark, cfg).toPandas())
     assert after.equals(_norm(before[before["pod_name"] != pod]))
