@@ -94,7 +94,14 @@ def _atomic_put_file(dst: str, data: bytes | None = None,
     removal of the replaced original) while this put is still only in
     the page cache, which is exactly the lost-data window the commit
     seam exists to close."""
-    tmp = os.path.join(os.path.dirname(dst), ".put-" + os.path.basename(dst))
+    import uuid as _uuid  # noqa: PLC0415
+
+    # unique temp per call: concurrent put_file(dst) calls (e.g. a
+    # roll-forward racing the crashed winner's own identical manifest
+    # put) must never replace each other's temp out from underneath
+    tmp = os.path.join(
+        os.path.dirname(dst),
+        f".put-{_uuid.uuid4().hex[:12]}-" + os.path.basename(dst))
     if src_path is not None:
         with open(src_path, "rb") as fi, open(tmp, "wb") as fo:
             shutil.copyfileobj(fi, fo)
@@ -110,6 +117,47 @@ def _atomic_put_file(dst: str, data: bytes | None = None,
         os.utime(tmp, (m, m))
     os.replace(tmp, dst)
     _fsync_dir(os.path.dirname(dst))
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the generation this commit was based on
+    — optimistic concurrency, Iceberg's commit model: writers never
+    lock, they validate at the commit point and the LOSER recomputes
+    from the now-current snapshot.  The table is left exactly as the
+    winner published it; the loser's staged work is discarded or
+    rebased by its caller."""
+
+
+def _put_file_exclusive(path: str, data: bytes) -> bool:
+    """Atomically create ``path`` with ``data`` IFF absent — the
+    compare-and-swap primitive under optimistic concurrency.  The
+    content is written complete and fsynced to a unique temp first,
+    then hard-linked into place: ``link`` fails with EEXIST when a
+    racer won, and a reader can never observe a partial file under
+    ``path``.  Returns False when the path already exists.  (On object
+    stores the equivalent is a conditional PUT / If-None-Match, which
+    S3, GCS and ABFS all provide.)"""
+    import uuid  # noqa: PLC0415
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = os.path.join(
+        os.path.dirname(path),
+        f".claim-{uuid.uuid4().hex[:12]}-{os.path.basename(path)}")
+    with open(tmp, "wb") as fo:
+        fo.write(data)
+        fo.flush()
+        os.fsync(fo.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    _fsync_dir(os.path.dirname(path))
+    return True
 
 
 def _fsync_dir(path: str) -> None:
@@ -321,7 +369,15 @@ class PutCommitter:
             staged = full
             live = os.path.join(root, _demangle(name[len(STAGE_PREFIX):]))
             if os.path.exists(os.path.join(staged, PUBLISH_MARKER)):
-                _publish_from_marker(self, staged, live)
+                try:
+                    _publish_from_marker(self, staged, live)
+                except CommitConflict:
+                    # the staged commit LOST its optimistic-concurrency
+                    # race (another writer advanced the generation):
+                    # replaying it would clobber the winner — the
+                    # staged work is discarded, never published
+                    self._delete_tree(staged)
+                    continue
                 healed.append(live)
             elif os.path.exists(os.path.join(staged, self.MARKER)):
                 self._replay(staged, live)
@@ -403,6 +459,18 @@ def write_file_manifest(committer, live: str, files: list[str],
     footers: at a 10⁶-file batch the per-batch footer re-walks are
     minutes of serial driver I/O, the analogue of the reference losing
     its metadata cache (metadata_cache.rs:37-100)."""
+    doc = _manifest_doc(files, generation, stats=stats, retired=retired,
+                        extra=extra, committed_at=committed_at)
+    committer.put_file(
+        os.path.join(live, FILE_MANIFEST), json.dumps(doc).encode(),
+    )
+
+
+def _manifest_doc(files: list[str], generation: int,
+                  stats: dict[str, dict] | None = None,
+                  retired: list[dict] | None = None,
+                  extra: dict | None = None,
+                  committed_at: float | None = None) -> dict:
     doc: dict = {"generation": generation, "files": files}
     if committed_at is not None:
         # snapshot timestamp (time travel / snapshot log); taken ONCE
@@ -417,9 +485,7 @@ def write_file_manifest(committer, live: str, files: list[str],
         # table-specific metadata riding the manifest (e.g. the DLQ
         # generation's resolved codec — dlq.py's redrive n_tok contract)
         doc.update(extra)
-    committer.put_file(
-        os.path.join(live, FILE_MANIFEST), json.dumps(doc).encode(),
-    )
+    return doc
 
 
 # ---------------------------------------------------------------------------
@@ -462,6 +528,97 @@ def archive_manifest(committer, live: str, man: dict,
     doc["superseded_at"] = (_time.time() if superseded_at is None
                             else superseded_at)
     committer.put_file(path, json.dumps(doc).encode())
+
+
+def claim_generation(live: str, prev_man: dict, token: str,
+                     superseded_at: float | None = None,
+                     intent: dict | None = None) -> dict | None:
+    """Claim the exclusive right to commit generation ``prev+1`` by
+    atomically creating the snapshot-log archive of ``prev_man`` — the
+    optimistic-concurrency commit point: every flip from generation g
+    must archive g first, so exclusive creation of
+    ``_history/<g>.json`` admits exactly ONE winner per generation no
+    matter how many writers staged against it (Iceberg's CAS on the
+    metadata pointer, realized with the log entry the flip had to
+    write anyway).  ``token`` identifies the commit so a crash REPLAY
+    of the same commit passes while a racer fails; ``intent`` (the
+    complete next-manifest document) makes marker-less commits
+    roll-forwardable: a writer that finds a claim whose flip never
+    landed completes it from the intent before conflicting, so a
+    crashed claimer can never wedge the table.  Returns None when the
+    claim is won, else the existing claim document."""
+    import time as _time  # noqa: PLC0415
+
+    doc = dict(prev_man)
+    doc["superseded_at"] = (_time.time() if superseded_at is None
+                            else superseded_at)
+    doc["superseded_by"] = token
+    if intent is not None:
+        doc["commit_intent"] = intent
+    path = _history_path(live, prev_man["generation"])
+    if _put_file_exclusive(path, json.dumps(doc).encode()):
+        return None
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        # claim present but unreadable mid-race: treat as a foreign
+        # claim with unknown token — the caller conflicts, never clobbers
+        return {"superseded_by": "<unreadable>"}
+
+
+def _roll_forward_claim(committer, live: str, claim: dict) -> None:
+    """Complete a crashed marker-less commit from its claim's
+    ``commit_intent``: if the claimed generation's flip never reached
+    the live manifest, publish the intent now.  Idempotent — a live
+    manifest at or past the intent's generation is left alone.  Claims
+    without an intent (marker-driven swaps) are finished by the
+    committer's ``recover`` from their staged marker instead."""
+    intent = claim.get("commit_intent")
+    if intent is None:
+        return
+    cur = read_file_manifest(live)
+    if cur is not None and cur["generation"] >= intent["generation"]:
+        return
+    if any(not os.path.exists(os.path.join(live, f))
+           for f in intent["files"]):
+        # a marker-backed commit still mid-put (or crashed before its
+        # data landed): publishing its manifest now would point readers
+        # at missing files — its own replay / recover() completes it
+        return
+    committer.put_file(os.path.join(live, FILE_MANIFEST),
+                       json.dumps(intent).encode())
+
+
+def _heal_regression(committer, live: str) -> None:
+    """Re-advance ``live`` from the immutable claim chain.  A claimer
+    whose manifest put lands LATE — after a racer rolled its intent
+    forward and later generations committed on top — would regress the
+    live pointer to its own (older) generation.  Every claim stores the
+    complete manifest it publishes, so the chain
+    ``_history/<g>.json → intent(g+1)`` deterministically reconstructs
+    the newest committed state: walk it from the current generation
+    until no further claim exists.  Every writer runs this right after
+    its put (one ``exists()`` in the no-race common case), so a
+    regression is healed by the writer that caused it; ``recover`` and
+    any later writer converge the residual crash window."""
+    while True:
+        cur = read_file_manifest(live)
+        if cur is None:
+            return
+        path = _history_path(live, cur["generation"])
+        if not os.path.exists(path):
+            return  # nothing committed past us
+        try:
+            with open(path) as fh:
+                claim = json.load(fh)
+        except (OSError, ValueError):
+            return
+        if claim.get("commit_intent") is None:
+            return  # marker-path crash: recover() replays its stage
+        _roll_forward_claim(committer, live, claim)
+        if read_file_manifest(live)["generation"] == cur["generation"]:
+            return  # no progress — stop rather than spin
 
 
 def _history_entries(live: str) -> list[dict]:
@@ -575,6 +732,7 @@ def rollback_to_generation(committer, live: str, generation: int) -> dict:
     (they are NOT deleted here).  Requires the target snapshot to still
     be readable (inside retention).  Returns the new manifest."""
     import time as _time  # noqa: PLC0415
+    import uuid as _uuid  # noqa: PLC0415
 
     target = read_file_manifest_at(live, generation=generation)
     snapshot_files(live, generation=generation)  # readable, or raise
@@ -591,17 +749,29 @@ def rollback_to_generation(committer, live: str, generation: int) -> dict:
         retired.append({"generation": cur["generation"], "files": gone,
                         "superseded_at": now})
     known = {"generation", "files", "stats", "retired", "committed_at",
-             "superseded_at", "operation", "added", "tombstones_added"}
-    archive_manifest(committer, live, cur, superseded_at=now)
-    write_file_manifest(
-        committer, live, list(target["files"]), new_gen,
-        stats=target.get("stats"), retired=retired,
-        committed_at=now,
+             "superseded_at", "operation", "added", "tombstones_added",
+             "commit_token", "superseded_by", "commit_intent"}
+    tok = _uuid.uuid4().hex
+    doc = _manifest_doc(
+        list(target["files"]), new_gen,
+        stats=target.get("stats"), retired=retired, committed_at=now,
         extra={**{k: v for k, v in target.items() if k not in known},
                "rollback_of": generation,
                # content jumps to an arbitrary past state: incremental
                # readers must refuse ranges crossing a rollback
-               "operation": "rollback", "added": []})
+               "operation": "rollback", "added": [],
+               "commit_token": tok})
+    existing = claim_generation(live, cur, tok, superseded_at=now,
+                                intent=doc)
+    if existing is not None and \
+            existing.get("superseded_by") not in (None, tok):
+        _roll_forward_claim(committer, live, existing)
+        raise CommitConflict(
+            f"generation {new_gen} of {live!r} was committed by "
+            f"another writer")
+    committer.put_file(os.path.join(live, FILE_MANIFEST),
+                       json.dumps(doc).encode())
+    _heal_regression(committer, live)
     return read_file_manifest(live)
 
 
@@ -668,12 +838,20 @@ def commit_metadata_snapshot(committer, live: str, man: dict,
     in-place predecessor silently edited already-committed snapshots
     (a tombstone applied at read time to generation g's manifest
     retroactively changed what ``read_batch_snapshot(generation=g)``
-    returned)."""
+    returned).
+
+    Concurrency: the flip claims its generation (``claim_generation``)
+    carrying the complete next manifest as its roll-forwardable intent;
+    a racer raises ``CommitConflict`` (after completing the winner's
+    flip if it crashed), and the caller retries against the re-read
+    manifest — the metadata-only recompute is cheap by construction."""
     import time as _time  # noqa: PLC0415
+    import uuid as _uuid  # noqa: PLC0415
 
     now = _time.time()
     known = {"generation", "files", "stats", "retired", "committed_at",
-             "superseded_at", "operation", "added", "tombstones_added"}
+             "superseded_at", "operation", "added", "tombstones_added",
+             "commit_token", "superseded_by", "commit_intent"}
     extra = {k: v for k, v in man.items() if k not in known}
     for k, v in updates.items():
         if v is None:
@@ -684,11 +862,24 @@ def commit_metadata_snapshot(committer, live: str, man: dict,
     extra["added"] = []
     if lineage_extra:
         extra.update(lineage_extra)
-    archive_manifest(committer, live, man, superseded_at=now)
-    write_file_manifest(committer, live, list(man["files"]),
-                        man["generation"] + 1, stats=man.get("stats"),
-                        retired=man.get("retired"), committed_at=now,
-                        extra=extra)
+    tok = _uuid.uuid4().hex
+    extra["commit_token"] = tok
+    doc = _manifest_doc(list(man["files"]), man["generation"] + 1,
+                        stats=man.get("stats"), retired=man.get("retired"),
+                        extra=extra, committed_at=now)
+    existing = claim_generation(live, man, tok, superseded_at=now,
+                                intent=doc)
+    if existing is not None and \
+            existing.get("superseded_by") not in (None, tok):
+        _roll_forward_claim(committer, live, existing)
+        raise CommitConflict(
+            f"generation {man['generation'] + 1} of {live!r} was "
+            f"committed by another writer")
+    committer.put_file(os.path.join(live, FILE_MANIFEST),
+                       json.dumps(doc).encode())
+    # a racer may have rolled our intent forward and committed past it
+    # while our own put was in flight — re-advance from the claim chain
+    _heal_regression(committer, live)
     return read_file_manifest(live)
 
 
@@ -1407,6 +1598,65 @@ def _publish_from_marker(committer, staged: str, live: str,
     drive the state back to a single one."""
     with open(os.path.join(staged, PUBLISH_MARKER)) as fh:
         marker = json.load(fh)
+    # archive the manifest this flip supersedes into the snapshot log —
+    # BEFORE the flip, so no window exists where the old pointer is
+    # gone from both places.  The archive doubles as the OPTIMISTIC
+    # CONCURRENCY commit point (claim_generation): exactly one writer
+    # per generation wins it; a crash replay of the SAME commit (same
+    # token) passes, a racer raises CommitConflict with the table left
+    # exactly as the winner published it — validated BEFORE any staged
+    # file lands in ``live``, so a losing commit leaves zero debris.
+    prev = read_file_manifest(live)
+    tok = marker.get("commit_token")
+    extra = dict(marker.get("extra") or {})
+    if tok is not None:
+        extra["commit_token"] = tok
+    if "operation" in marker:
+        # snapshot lineage for incremental readers: what KIND of change
+        # this flip was, and which files it physically added
+        extra["operation"] = marker["operation"]
+        extra["added"] = marker.get("publish", marker["files"])
+    doc = _manifest_doc(marker["files"], marker["generation"],
+                        stats=marker.get("stats"),
+                        retired=marker.get("retired"), extra=extra,
+                        committed_at=marker.get("committed_at"))
+    if prev is not None:
+        if prev["generation"] > marker["generation"]:
+            raise CommitConflict(
+                f"stale commit for {live!r}: staged against generation "
+                f"{marker['generation'] - 1} but the table is at "
+                f"{prev['generation']}")
+        if prev["generation"] == marker["generation"]:
+            # flip already landed: OUR crash replay finishes cleanup;
+            # a DIFFERENT commit at this generation means we lost
+            if tok is not None and \
+                    prev.get("commit_token") not in (None, tok):
+                raise CommitConflict(
+                    f"generation {marker['generation']} of {live!r} was "
+                    f"committed by another writer")
+        else:
+            if prev["generation"] != marker["generation"] - 1:
+                raise CommitConflict(
+                    f"commit for {live!r} skips generations: staged "
+                    f"{marker['generation']}, live {prev['generation']}")
+            if tok is None:
+                # pre-token marker (written before optimistic
+                # concurrency): legacy skip-if-exists archive, so its
+                # crash replays keep passing
+                archive_manifest(committer, live, prev,
+                                 superseded_at=marker.get("committed_at"))
+            else:
+                existing = claim_generation(
+                    live, prev, tok,
+                    superseded_at=marker.get("committed_at"), intent=doc)
+                if existing is not None and \
+                        existing.get("superseded_by") not in (None, tok):
+                    # a racer holds the claim: finish its flip if it
+                    # crashed marker-less (roll-forward), then concede
+                    _roll_forward_claim(committer, live, existing)
+                    raise CommitConflict(
+                        f"generation {marker['generation']} of {live!r} "
+                        f"is claimed by another writer")
     # "publish" = the files physically staged here; "files" = the full
     # new-generation list (a consolidating append keeps the previous
     # generation's files in place — they are immutable and re-listed,
@@ -1416,26 +1666,11 @@ def _publish_from_marker(committer, staged: str, live: str,
         dst = os.path.join(live, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         committer.put_file(dst, src_path=os.path.join(staged, rel))
-    # archive the manifest this flip supersedes into the snapshot log —
-    # BEFORE the flip, so no window exists where the old pointer is
-    # gone from both places.  Guards make the replay idempotent: skip
-    # when the archive already exists, and skip when the live manifest
-    # already IS the new generation (crash after the flip).
-    prev = read_file_manifest(live)
-    if prev is not None and prev["generation"] < marker["generation"]:
-        archive_manifest(committer, live, prev,
-                         superseded_at=marker.get("committed_at"))
-    extra = dict(marker.get("extra") or {})
-    if "operation" in marker:
-        # snapshot lineage for incremental readers: what KIND of change
-        # this flip was, and which files it physically added
-        extra["operation"] = marker["operation"]
-        extra["added"] = marker.get("publish", marker["files"])
-    write_file_manifest(committer, live, marker["files"],
-                        marker["generation"], stats=marker.get("stats"),
-                        retired=marker.get("retired"),
-                        extra=extra,
-                        committed_at=marker.get("committed_at"))
+    committer.put_file(os.path.join(live, FILE_MANIFEST),
+                       json.dumps(doc).encode())
+    # a racer may have rolled our intent forward and committed past it
+    # while our own put was in flight — re-advance from the claim chain
+    _heal_regression(committer, live)
     if vacuum:
         # retired entries are protected inside vacuum_unreferenced, so
         # this only reaps genuinely untracked debris on a retained swap
@@ -1449,7 +1684,8 @@ def manifest_swap(committer, live: str, staged: str,
                   retain_previous: bool = False,
                   keep_prev_files: bool = False,
                   drop_files: list[str] | None = None,
-                  extra: dict | None = None) -> None:
+                  extra: dict | None = None,
+                  expected_generation: int | None = None) -> None:
     """Replace ``live``'s data with ``staged``'s via a manifest flip:
 
     1. put ``<stage>/_PUBLISH_READY`` (files + next generation) — from
@@ -1480,8 +1716,18 @@ def manifest_swap(committer, live: str, staged: str,
     retention window when ``retain_previous``, else step 5's vacuum
     reaps them as unreferenced."""
     import time as _time  # noqa: PLC0415
+    import uuid as _uuid  # noqa: PLC0415
 
     man = read_file_manifest(live)
+    if expected_generation is not None:
+        have = man["generation"] if man else None
+        if have != expected_generation:
+            # early optimistic-concurrency abort: the snapshot this
+            # rewrite was computed from is no longer current — fail
+            # BEFORE staging a marker (nothing to recover/discard)
+            raise CommitConflict(
+                f"{live!r} is at generation {have}, rewrite was computed "
+                f"against {expected_generation}")
     gen = (man["generation"] + 1) if man else 1
     staged_files = [f for f in data_files(staged)]
     if stats is None:
@@ -1535,6 +1781,9 @@ def manifest_swap(committer, live: str, staged: str,
                     "publish": staged_files,
                     "committed_at": _time.time(),
                     "operation": operation,
+                    # commit identity: lets a crash REPLAY of this swap
+                    # pass the generation claim while a racer conflicts
+                    "commit_token": _uuid.uuid4().hex,
                     "stats": stats, "retired": retired,
                     "extra": extra or {}}).encode(),
     )

@@ -319,8 +319,9 @@ def delete_where(spark: SparkSession, cfg: PipelineConfig,
     import json as _json  # noqa: PLC0415
 
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        CONSOLIDATED_DIR, commit_metadata_snapshot, get_committer,
-        prune_manifest_files, read_file_manifest, read_table_manifest,
+        CONSOLIDATED_DIR, CommitConflict, commit_metadata_snapshot,
+        get_committer, prune_manifest_files, read_file_manifest,
+        read_table_manifest,
     )
 
     if mode not in ("cow", "defer"):
@@ -371,24 +372,43 @@ def delete_where(spark: SparkSession, cfg: PipelineConfig,
             man = _ensure_manifest(spark, cfg, committer, live)
             if man is None:
                 continue
-            if not any(prune_manifest_files(man, e) for e in [preds]):
-                continue  # metadata proves no file can hold a match
             entry = [list(p) for p in preds]
-            filters = list(man.get("delete_filters") or [])
-            if entry not in filters:  # idempotent re-runs
+            # optimistic-concurrency retry: the tombstone is a
+            # metadata-only snapshot, so losing a race costs one
+            # manifest re-read and re-append of the entry
+            for attempt in range(5):
+                if not prune_manifest_files(man, preds):
+                    man = None  # metadata proves no file can hold a match
+                    break
+                filters = list(man.get("delete_filters") or [])
+                if entry in filters:  # idempotent re-runs
+                    break
                 filters.append(entry)
-                # the tombstone is a SNAPSHOT (generation+1, operation
-                # "overwrite"), not an in-place edit: still two small
-                # JSON puts — O(1) in table size — but time travel to
-                # the prior generation shows the rows, the changelog
-                # attributes the delete, and incremental append readers
-                # correctly refuse to scan across it
-                commit_metadata_snapshot(
-                    committer, live, man, {"delete_filters": filters},
-                    operation="overwrite",
-                    lineage_extra={"tombstones_added": [entry]})
+                try:
+                    # the tombstone is a SNAPSHOT (generation+1,
+                    # operation "overwrite"), not an in-place edit:
+                    # still two small JSON puts — O(1) in table size —
+                    # but time travel to the prior generation shows the
+                    # rows, the changelog attributes the delete, and
+                    # incremental append readers correctly refuse to
+                    # scan across it
+                    commit_metadata_snapshot(
+                        committer, live, man, {"delete_filters": filters},
+                        operation="overwrite",
+                        lineage_extra={"tombstones_added": [entry]})
+                    break
+                except CommitConflict:
+                    if attempt == 4:
+                        raise
+                    man = read_file_manifest(live)
+                    if man is None:
+                        break
+            if man is None:
+                continue
             dirs_d[os.path.basename(live)] = {
-                "tombstoned": True, "filters": len(filters),
+                "tombstoned": True,
+                "filters": len(read_file_manifest(live)
+                               .get("delete_filters") or []),
             }
         return {"deferred": True, "dirs": dirs_d}
 
@@ -579,7 +599,8 @@ def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
     # time and lineage (inheriting the previous generation's "append"
     # would let an incremental reader scan straight across this delete)
     known = {"generation", "files", "stats", "retired", "committed_at",
-             "superseded_at", "operation", "added", "tombstones_added"}
+             "superseded_at", "operation", "added", "tombstones_added",
+             "commit_token", "superseded_by", "commit_intent"}
     extra = {k: v for k, v in man.items() if k not in known}
     extra["deleted_rows"] = man.get("deleted_rows", 0) + n_matched
     if clear_filters:
@@ -751,7 +772,8 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
             )
         known = {"generation", "files", "stats", "retired",
                  "committed_at", "superseded_at", "operation", "added",
-                 "tombstones_added"}  # flip stamps its own
+                 "tombstones_added", "commit_token", "superseded_by",
+                 "commit_intent"}  # flip stamps its own
         extra = {k: v for k, v in man.items() if k not in known}
         manifest_swap(committer, tgt, stage, stats=new_stats,
                       keep_prev_files=True, drop_files=hit,
