@@ -609,7 +609,8 @@ def _cow_delete_in_dir(spark, cfg: PipelineConfig, committer, live: str,
                   keep_prev_files=True, drop_files=hit,
                   retain_previous=cfg.vacuum_retention_s > 0,
                   vacuum=cfg.vacuum_retention_s <= 0,
-                  extra=extra)
+                  extra=extra,
+                  expected_generation=man["generation"])
     return {
         "matched": n_matched, "files_rewritten": len(hit),
         "files_kept": rows_staged,
@@ -779,7 +780,8 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
                       keep_prev_files=True, drop_files=hit,
                       retain_previous=cfg.vacuum_retention_s > 0,
                       vacuum=cfg.vacuum_retention_s <= 0,
-                      extra=extra)
+                      extra=extra,
+                      expected_generation=man["generation"])
         updated_rows += n_matched
         files_rewritten += len(hit)
         dirs[os.path.basename(tgt)] = {
@@ -858,7 +860,9 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
                                if prev_s is not None else
                                ins_schema).jsonValue()
         manifest_swap(committer, live, stage, stats=new_stats,
-                      keep_prev_files=True, extra=extra)
+                      keep_prev_files=True, extra=extra,
+                      expected_generation=(cons_man["generation"]
+                                           if cons_man else None))
         write_table_manifest(committer, root, {
             "version": 1,
             "consolidated_ids": tman["consolidated_ids"] + [merge_id],
@@ -1601,7 +1605,9 @@ def compact_batch(spark: SparkSession, cfg: PipelineConfig, batch_id: str,
     manifest_swap(committer, batch_dir, tmp, stats=new_stats,
                   vacuum=cfg.vacuum_retention_s <= 0,
                   retain_previous=cfg.vacuum_retention_s > 0,
-                  extra={"schema": data_schema.jsonValue()})
+                  extra={"schema": data_schema.jsonValue()},
+                  expected_generation=(src_man["generation"]
+                                       if src_man else None))
     return {
         "files_before": files_before,
         "files_after": _tree_num_files(batch_dir),
@@ -1813,7 +1819,9 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
         # signal that checkpoint sink counts are stale) must survive
         extra["deleted_rows"] = prev_deleted + src_deleted
     manifest_swap(committer, live, stage, stats=new_stats,
-                  keep_prev_files=True, extra=extra)
+                  keep_prev_files=True, extra=extra,
+                  expected_generation=(man_c["generation"]
+                                       if man_c else None))
     now = _time.time()
     write_table_manifest(committer, root, {
         "version": 1,
