@@ -1,0 +1,252 @@
+"""Consumer-group followers over the routed table — the downstream
+half of the tailing story.
+
+``read_routed_between`` (maintenance.py) gives the incremental FEED:
+the batches committed after a watermark.  This module adds what a
+production consumer actually needs on top of it, shaped like a Kafka
+consumer group over a single-partition log whose offsets are the
+committed batch ids (append-only, commit-ordered — pipeline.py's
+checkpoint manifest):
+
+- **Durable group offsets** — one small JSON per group under
+  ``<output>/_consumers/<group>/``, written with the table's own
+  atomic committer (temp+replace+fsync), never a broker.
+- **poll / commit at-least-once** — ``poll`` plans a scan over exactly
+  the unconsumed batches (through ``table_scan``, so consolidation,
+  schema evolution, and tombstones all resolve) and returns a cursor;
+  nothing advances until ``commit_cursor``.  A crash between the two
+  re-delivers — classic at-least-once, and the delivered unit is a
+  whole committed batch, so downstream dedup is by ``batch_id``.
+- **Exactly-once table-to-table delivery** — ``deliver_exactly_once``
+  stores the group cursor INSIDE the destination table's ``_FILES.json``
+  manifest and advances it in the SAME ``manifest_swap`` that publishes
+  the delivered rows: offset and output commit in one atomic pointer
+  flip (the transactional-sink pattern — Kafka's "store offsets in the
+  sink" / Delta's ``txn`` action).  A crash before the flip leaves
+  nothing visible and the next run re-polls the same range; a crash
+  after it is already committed and the replayed swap is idempotent
+  (commit.py's marker replay + commit-token claims).
+
+Reference parity: the reference pipeline terminates in its ES sink
+(pool.rs — the bulk writer is the only consumer).  Here the committed
+table IS the handoff point, and followers are how N independent
+downstream jobs (index builder, dedup store, training-data packer)
+each tail it once, exactly once, at their own pace.
+
+Scale: a poll is metadata-first — one checkpoint-manifest read, one
+cursor read, then a scan planned over only the new batches' manifest
+file lists (no listings of consumed data).  At 100 TB / 10⁵ committed
+batches the per-poll cost is the new data only, which is the whole
+point of tailing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logfowd2_spark.config import PipelineConfig
+
+CURSOR_FILE = "_CURSOR.json"
+CONSUMERS_DIR = "_consumers"
+#: manifest key carrying a delivery cursor inside a destination table's
+#: ``_FILES.json`` (deliver_exactly_once) — the Delta ``txn`` analogue
+MANIFEST_CURSOR_KEY = "consumer_cursor"
+
+
+class CursorDiverged(RuntimeError):
+    """The stored cursor no longer aligns with the table's committed
+    batch log (checkpoint manifest rewritten / table recreated under
+    the same path).  Consuming past this silently would re-deliver or
+    skip arbitrary data — the caller must decide (reset_cursor)."""
+
+
+def _group_dir(cfg: PipelineConfig, group: str) -> str:
+    if not group or "/" in group or group.startswith("_CURSOR"):
+        raise ValueError(f"invalid consumer group name {group!r}")
+    return os.path.join(cfg.output_path, CONSUMERS_DIR, group)
+
+
+def load_cursor(cfg: PipelineConfig, group: str) -> dict | None:
+    """The group's durably committed cursor, or None for a new group."""
+    path = os.path.join(_group_dir(cfg, group), CURSOR_FILE)
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def reset_cursor(cfg: PipelineConfig, group: str) -> None:
+    """Drop the group's cursor — the next poll starts from the log's
+    beginning (Kafka ``--reset-offsets --to-earliest``)."""
+    path = os.path.join(_group_dir(cfg, group), CURSOR_FILE)
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
+def _check_alignment(ids: list[str], cursor: dict | None) -> int:
+    """Validate the cursor against the live batch log; return the index
+    of the first unconsumed batch.  The log is append-only, so a valid
+    cursor's (position, last_batch) must still name the same prefix."""
+    if cursor is None:
+        return 0
+    pos = int(cursor["position"])
+    last = cursor.get("last_batch")
+    if pos == 0:
+        return 0
+    if pos > len(ids) or ids[pos - 1] != last:
+        raise CursorDiverged(
+            f"cursor at position {pos} expects batch {last!r} but the "
+            f"committed log has "
+            f"{ids[pos - 1] if pos <= len(ids) else '<nothing>'!r} there "
+            f"— the table history diverged from this group's cursor")
+    return pos
+
+
+@dataclass
+class Delivery:
+    """One poll's result: ``df`` plans exactly the unconsumed batches
+    (None when there is nothing new — no job is ever planned for an
+    empty poll), and ``cursor`` is what ``commit_cursor`` persists
+    AFTER the caller has durably processed ``df``."""
+
+    df: DataFrame | None
+    batch_ids: list[str] = field(default_factory=list)
+    cursor: dict = field(default_factory=dict)
+
+
+def poll(spark: SparkSession, cfg: PipelineConfig, group: str,
+         max_batches: int | None = None, predicates=None,
+         cursor: dict | None = None) -> Delivery:
+    """Plan the group's next delivery: every batch committed after the
+    cursor (capped at ``max_batches``), scanned through the table's
+    metadata layers (consolidation, manifest schemas, tombstones,
+    data-skipping ``predicates`` — maintenance.table_scan).  Does NOT
+    advance anything; pair with ``commit_cursor`` after processing.
+
+    ``cursor`` overrides the durable one (deliver_exactly_once passes
+    the destination-manifest cursor here)."""
+    from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
+        committed_batch_ids, recover_compactions, table_scan,
+    )
+
+    recover_compactions(cfg)
+    ids = committed_batch_ids(cfg)
+    if cursor is None:
+        cursor = load_cursor(cfg, group)
+    elif cursor.get("group") not in (None, group):
+        raise ValueError(
+            f"cursor belongs to group {cursor.get('group')!r}, "
+            f"polled as {group!r}")
+    start = _check_alignment(ids, cursor)
+    new_ids = ids[start:]
+    if max_batches is not None:
+        new_ids = new_ids[:max_batches]
+    pos = start + len(new_ids)
+    nxt = {
+        "version": 1,
+        "group": group,
+        "position": pos,
+        "last_batch": ids[pos - 1] if pos else None,
+        "committed_at": time.time(),
+    }
+    df = table_scan(spark, cfg, new_ids, predicates=predicates) \
+        if new_ids else None
+    return Delivery(df=df, batch_ids=new_ids, cursor=nxt)
+
+
+def commit_cursor(cfg: PipelineConfig, group: str, cursor: dict) -> None:
+    """Durably advance the group's cursor — atomic temp+replace+fsync
+    via the table's committer.  Optimistic concurrency: refuses to
+    REGRESS (a stale worker committing behind a cursor another worker
+    already advanced raises CommitConflict; equal-position recommits
+    are idempotent).  Like Kafka, a group is meant to have ONE active
+    consumer per partition — this check catches the violation at the
+    durable boundary rather than guaranteeing lock-step mutual
+    exclusion between concurrent pollers."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CommitConflict, get_committer,
+    )
+
+    if cursor.get("group") not in (None, group):
+        raise ValueError(
+            f"cursor belongs to group {cursor.get('group')!r}, "
+            f"committed as {group!r}")
+    have = load_cursor(cfg, group)
+    if have is not None and int(have["position"]) > int(cursor["position"]):
+        raise CommitConflict(
+            f"group {group!r} is already at position {have['position']} "
+            f"(last {have.get('last_batch')!r}); refusing to regress to "
+            f"{cursor['position']}")
+    committer = get_committer(cfg.commit_protocol)
+    gdir = _group_dir(cfg, group)
+    os.makedirs(gdir, exist_ok=True)
+    committer.put_file(
+        os.path.join(gdir, CURSOR_FILE),
+        json.dumps({**cursor, "group": group}).encode())
+
+
+def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
+                         group: str, dest: str, transform=None,
+                         max_batches: int | None = None) -> dict:
+    """Tail the routed table into the parquet table at ``dest`` with
+    EXACTLY-ONCE delivery: the group cursor lives inside ``dest``'s own
+    ``_FILES.json`` and advances in the same atomic manifest flip that
+    publishes the delivered files — offset and output are one commit
+    (the transactional-sink pattern; Delta's ``txn`` action, Kafka's
+    store-offsets-in-the-sink).
+
+    Crash anywhere: before the flip nothing is visible and the next
+    call re-polls the identical range; after it, the commit already
+    carries the advanced cursor, and a half-finished flip is replayed
+    idempotently by ``recover`` on entry (commit.py marker protocol).
+
+    ``transform`` (df -> df) runs inside the delivery, so a downstream
+    projection/filter/repartition ships in the same transaction.
+    Returns {"batch_ids", "rows", "generation"} (rows from the
+    committed manifest's file stats — no recount)."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, manifest_swap, read_file_manifest, stage_path,
+    )
+
+    committer = get_committer(cfg.commit_protocol)
+    os.makedirs(dest, exist_ok=True)
+    # replay a crashed delivery's pending flip BEFORE reading the
+    # cursor, so a post-marker crash is finished (and its cursor
+    # advance observed) rather than re-delivered
+    committer.recover(os.path.dirname(os.path.abspath(dest)))
+    man = read_file_manifest(dest)
+    cur = (man or {}).get(MANIFEST_CURSOR_KEY)
+    if cur is not None and cur.get("group") != group:
+        raise ValueError(
+            f"{dest!r} is the sink of group {cur.get('group')!r}, "
+            f"not {group!r}")
+    got = poll(spark, cfg, group, max_batches=max_batches, cursor=cur)
+    if not got.batch_ids:
+        return {"batch_ids": [], "rows": 0,
+                "generation": (man or {}).get("generation")}
+    df = got.df if transform is None else transform(got.df)
+    stage = stage_path(dest)
+    import shutil  # noqa: PLC0415
+
+    shutil.rmtree(stage, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+    manifest_swap(
+        committer, dest, stage,
+        keep_prev_files=True,  # delivery appends; prior files stay live
+        extra={"operation": "append",
+               MANIFEST_CURSOR_KEY: {**got.cursor, "group": group}},
+    )
+    man = read_file_manifest(dest)
+    stats = man.get("stats") or {}
+    rows = sum(int(stats[f].get("rows", 0))
+               for f in man.get("added", []) if f in stats)
+    return {"batch_ids": got.batch_ids, "rows": rows,
+            "generation": man["generation"]}
