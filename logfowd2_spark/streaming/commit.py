@@ -884,7 +884,8 @@ def commit_metadata_snapshot(committer, live: str, man: dict,
 
 
 def changelog_entries(live: str, from_generation: int,
-                      to_generation: int | None = None) -> list[dict]:
+                      to_generation: int | None = None,
+                      elide_consolidations: bool = False) -> list[dict]:
     """The CHANGE lineage of ``live`` over ``(from_generation,
     to_generation]`` — the metadata half of an Iceberg changelog scan,
     the general sibling of ``incremental_files`` that handles deletes
@@ -923,6 +924,18 @@ def changelog_entries(live: str, from_generation: int,
         if op == "replace":
             man_prev = man  # content-preserving: diff across it
             continue
+        if elide_consolidations and op == "append" and \
+                (man.get("consolidates") or None) != \
+                (man_prev.get("consolidates") or None):
+            # a table consolidation's append: its added rows MOVED here
+            # from per-batch dirs (row-count-verified, compact_table) —
+            # content-preserving at TABLE level, so a table-scoped CDC
+            # reader diffs straight across it.  The marker is the
+            # cumulative ``consolidates`` id list advancing; metadata
+            # snapshots and COW rewrites carry the list forward
+            # unchanged, so only genuine consolidation flips match.
+            man_prev = man
+            continue
         prev_files = set(man_prev["files"])
         cur_files = set(man["files"])
         added = sorted(cur_files - prev_files)
@@ -950,6 +963,31 @@ def changelog_entries(live: str, from_generation: int,
             "man": man, "man_prev": man_prev,
         })
         man_prev = man
+    return out
+
+
+def consolidation_coverage(live: str) -> dict[str, dict]:
+    """Which consolidation flip of the ``live`` (consolidated) dir
+    absorbed each batch id, from the snapshot log alone: ``batch_id ->
+    {"flip_generation", "source_generation"}``.  ``flip_generation`` is
+    the EARLIEST generation whose cumulative ``consolidates`` list
+    names the id (the absorbing flip); ``source_generation`` is the
+    absorbed per-batch dir's own final generation at absorption time
+    (``consolidated_gens``, recorded by compact_table) — None for
+    flips committed before that lineage existed.  A CDC follower uses
+    this to prove a reaped source dir had no unconsumed changes."""
+    mans = _history_entries(live)
+    cur = read_file_manifest(live)
+    if cur is not None and (not mans
+                            or mans[-1]["generation"] < cur["generation"]):
+        mans.append(cur)
+    out: dict[str, dict] = {}
+    for man in mans:  # ascending generations: first sighting wins
+        gens = man.get("consolidated_gens") or {}
+        for b in man.get("consolidates") or []:
+            if b not in out:
+                out[b] = {"flip_generation": man["generation"],
+                          "source_generation": gens.get(b)}
     return out
 
 

@@ -145,6 +145,10 @@ def poll(spark: SparkSession, cfg: PipelineConfig, group: str,
         raise ValueError(
             f"cursor belongs to group {cursor.get('group')!r}, "
             f"polled as {group!r}")
+    if cursor is not None and cursor.get("mode") == "changes":
+        raise ValueError(
+            f"group {group!r} is a CDC group (poll_changes) — an "
+            f"appends-mode poll would drop its retraction state")
     start = _check_alignment(ids, cursor)
     new_ids = ids[start:]
     if max_batches is not None:
@@ -159,6 +163,168 @@ def poll(spark: SparkSession, cfg: PipelineConfig, group: str,
     }
     df = table_scan(spark, cfg, new_ids, predicates=predicates) \
         if new_ids else None
+    return Delivery(df=df, batch_ids=new_ids, cursor=nxt)
+
+
+def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
+                 max_batches: int | None = None) -> Delivery:
+    """CDC-mode poll: the group's next delivery INCLUDING retractions —
+    data columns plus ``_change_type`` ('insert'/'delete'),
+    ``_change_generation``, and ``_change_source`` (which table dir
+    committed the change).  The appends-mode ``poll`` never re-visits a
+    delivered batch, so a downstream copy silently diverges when a
+    delete/merge later rewrites one; this poll tails those too —
+    Iceberg's changelog scan turned into a consumable group feed.
+
+    Semantics (replay contract): apply deliveries in poll order; within
+    one poll, inserts precede changes, and a source's changes apply in
+    ``_change_generation`` order.  Then at every commit point
+    ``inserts ∖ deletes == the table's visible content restricted to
+    the consumed batches`` as multisets (pinned by test_follower_cdc).
+
+    How each table event surfaces:
+
+    - a NEW batch delivers its currently-visible rows as inserts
+      (``_change_generation`` 0) and its dir's generation is tracked;
+    - a tracked dir's generation advancing delivers that dir's exact
+      changelog slice (``read_changes_between`` — COW deletes, deferred
+      tombstones, merges; compactions elided);
+    - a table CONSOLIDATION delivers nothing: the absorbing flip is
+      row-count-verified content-preserving, the absorbed dir's
+      tracking moves to the consolidated generation's changelog
+      (``elide_consolidations`` diffs straight across the absorption),
+      and later deletes on consolidated data still surface — filtered
+      by ``batch_id`` to rows this group actually consumed, so a
+      retraction of a batch it has NOT yet inserted is never delivered
+      (that batch's eventual insert already excludes the rows);
+    - a tracked dir REAPED past retention is proven harmless via the
+      absorption lineage (``consolidation_coverage``: the flip recorded
+      the dir's final generation) — unconsumed changes lost to expiry
+      raise ``CursorDiverged`` instead of silently skipping, Iceberg's
+      changelog-past-expiry contract.
+
+    Scale: metadata-first like ``poll`` — the changelog slices read
+    only files their flips touched, so cost is new data + churn."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, consolidation_coverage, read_file_manifest,
+        read_table_manifest,
+    )
+    from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
+        committed_batch_ids, read_changes_between, recover_compactions,
+        table_scan,
+    )
+
+    recover_compactions(cfg)
+    ids = committed_batch_ids(cfg)
+    cursor = load_cursor(cfg, group)
+    if cursor is not None and cursor.get("mode") != "changes":
+        raise ValueError(
+            f"group {group!r} is an appends-mode group — re-polling it "
+            f"as CDC would re-deliver everything; use a new group")
+    start = _check_alignment(ids, cursor)
+    consumed = ids[:start]
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    cons_ids = set(tman["consolidated_ids"]) if tman else set()
+    cons_live = os.path.join(root, CONSOLIDATED_DIR)
+    dirs: dict[str, int] = dict((cursor or {}).get("dirs") or {})
+    parts: list[DataFrame] = []
+    _coverage: list[dict | None] = [None]  # lazy, one metadata walk
+
+    def coverage() -> dict:
+        if _coverage[0] is None:
+            _coverage[0] = consolidation_coverage(cons_live)
+        return _coverage[0]
+
+    def _tagged(df: DataFrame, source: str, batch: str | None) -> DataFrame:
+        if batch is not None and "batch_id" not in df.columns:
+            # per-dir reads recover only the partitions BELOW the dir
+            df = df.withColumn("batch_id", F.lit(batch))
+        return df.withColumn("_change_source", F.lit(source))
+
+    # -- 1. tracked per-batch dirs: their own changelog up to their
+    #       final generation; absorbed dirs hand tracking over
+    for name, g in sorted(dirs.items()):
+        b = name.split("=", 1)[1]
+        man = read_file_manifest(os.path.join(root, name))
+        if man is None:
+            cov = coverage().get(b)
+            if b in cons_ids and cov is not None and \
+                    cov.get("source_generation") == g:
+                del dirs[name]  # fully consumed before absorption
+                continue
+            lineage = ("is unrecorded"
+                       if cov is None or cov.get("source_generation") is None
+                       else f"ends at generation {cov['source_generation']}")
+            raise CursorDiverged(
+                f"dir {name!r} is gone and its absorption lineage "
+                f"{lineage} while group {group!r} consumed through {g} "
+                f"— its changes diverged or expired past retention")
+        if man["generation"] > g:
+            parts.append(_tagged(
+                read_changes_between(spark, cfg, name, g,
+                                     man["generation"]), name, b))
+        if b in cons_ids:
+            del dirs[name]  # future changes surface via _consolidated
+        else:
+            dirs[name] = man["generation"]
+
+    # -- 2. the consolidated generation's changelog, provenance-
+    #       filtered to batches this group already inserted
+    man_c = read_file_manifest(cons_live)
+    cons_gen = (cursor or {}).get("cons_gen")
+    if man_c is not None:
+        if cons_gen is None:
+            # first sighting: start at the earliest flip that absorbed
+            # a CONSUMED batch (earlier deletes on unconsumed batches
+            # are already reflected in their eventual inserts)
+            covs = [coverage()[b]["flip_generation"]
+                    for b in consumed if b in coverage()]
+            cons_gen = min(covs) if covs else man_c["generation"]
+        if man_c["generation"] > cons_gen and consumed:
+            df = read_changes_between(spark, cfg, CONSOLIDATED_DIR,
+                                      cons_gen, man_c["generation"],
+                                      elide_consolidations=True)
+            parts.append(_tagged(
+                df.filter(F.col("batch_id").isin(list(consumed))),
+                CONSOLIDATED_DIR, None))
+        cons_gen = man_c["generation"]
+
+    # -- 3. inserts: new batches' currently-visible content
+    new_ids = ids[start:]
+    if max_batches is not None:
+        new_ids = new_ids[:max_batches]
+    if new_ids:
+        ins = table_scan(spark, cfg, new_ids).select(
+            "*", F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("int").alias("_change_generation"))
+        parts.append(ins.withColumn(
+            "_change_source",
+            F.concat(F.lit("batch_id="), F.col("batch_id"))))
+        for b in new_ids:
+            if b in cons_ids:
+                continue  # rides the consolidated changelog (step 2)
+            man_b = read_file_manifest(
+                os.path.join(root, f"batch_id={b}"))
+            dirs[f"batch_id={b}"] = man_b["generation"] if man_b else 0
+
+    pos = start + len(new_ids)
+    nxt = {
+        "version": 2,
+        "mode": "changes",
+        "group": group,
+        "position": pos,
+        "last_batch": ids[pos - 1] if pos else None,
+        "dirs": dirs,
+        "cons_gen": cons_gen,
+        "committed_at": time.time(),
+    }
+    df = None
+    for p in parts:
+        df = p if df is None else df.unionByName(
+            p, allowMissingColumns=True)
     return Delivery(df=df, batch_ids=new_ids, cursor=nxt)
 
 

@@ -1072,7 +1072,8 @@ def read_appended_between(spark: SparkSession, cfg: PipelineConfig,
 
 def read_changes_between(spark: SparkSession, cfg: PipelineConfig,
                          name: str, from_generation: int,
-                         to_generation: int | None = None) -> DataFrame:
+                         to_generation: int | None = None,
+                         elide_consolidations: bool = False) -> DataFrame:
     """CDC changelog read of ONE dir: the exact row-level changes
     committed over ``(from_generation, to_generation]`` — Iceberg's
     ``create_changelog_view`` on the plain layout, and the general
@@ -1102,7 +1103,13 @@ def read_changes_between(spark: SparkSession, cfg: PipelineConfig,
     rewrote 2 files diffs 2 files (the ``exceptAll`` shuffle covers
     only changed-file rows).  Invariant (test_changelog):
     ``snapshot(from) ⊎ inserts ∖ deletes == snapshot(to)`` as
-    multisets."""
+    multisets.
+
+    ``elide_consolidations`` additionally diffs straight across table-
+    consolidation appends (compact_table moving batch-dir rows into the
+    consolidated generation — row-count-verified, content-preserving at
+    TABLE level): the table-scoped CDC view follower.poll_changes
+    consumes."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
@@ -1111,7 +1118,8 @@ def read_changes_between(spark: SparkSession, cfg: PipelineConfig,
     )
 
     d = _resolve_table_dir(cfg, name)
-    steps = changelog_entries(d, from_generation, to_generation)
+    steps = changelog_entries(d, from_generation, to_generation,
+                              elide_consolidations=elide_consolidations)
     schemas = [manifest_schema(m) for st in steps
                for m in (st["man_prev"], st["man"])]
     merged = (merge_schemas(schemas)
@@ -1808,7 +1816,17 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
     # the flip carries the CUMULATIVE covered-id list ("consolidates"),
     # making it the phase-1 commit record the recovery block above
     # resolves a crashed phase 2 from
-    extra = {"consolidates": tman["consolidated_ids"] + new_ids}
+    extra = {"consolidates": tman["consolidated_ids"] + new_ids,
+             # absorption lineage: each source dir's final generation at
+             # consolidation time (cumulative, like ``consolidates``) —
+             # lets a lagging CDC reader prove a reaped source dir had
+             # no changes it hadn't consumed (commit.
+             # consolidation_coverage)
+             "consolidated_gens": {
+                 **((man_c or {}).get("consolidated_gens") or {}),
+                 **{b: (m["generation"] if m else None)
+                    for b, m in zip(new_ids, src_mans)},
+             }}
     if rec_schema is not None:
         extra["schema"] = rec_schema.jsonValue()
     prev_deleted = (man_c or {}).get("deleted_rows", 0)
