@@ -79,6 +79,16 @@ def main(argv: list[str] | None = None) -> int:
                          "e.g. 'batch-00000:1' or '_consolidated:2'; "
                          "publishes the old file list as a NEW "
                          "generation (maintenance.rollback_batch)")
+    ap.add_argument("--deliver", metavar="GROUP:DEST",
+                    help="tail the routed table into the parquet table "
+                         "at DEST as consumer group GROUP with "
+                         "exactly-once delivery (the group cursor "
+                         "advances inside DEST's manifest flip — "
+                         "follower.deliver_exactly_once)")
+    ap.add_argument("--consumer-lag", metavar="GROUP",
+                    help="print GROUP's consumer lag (batches/rows "
+                         "behind the committed log) as JSON — "
+                         "metadata-only, no Spark job")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -101,7 +111,8 @@ def main(argv: list[str] | None = None) -> int:
     maintenance_only = any((args.compact_table, args.delete_where,
                             args.merge_from, args.materialize_deletes,
                             args.vacuum_expired, args.snapshot_log,
-                            args.rollback))
+                            args.rollback, args.deliver,
+                            args.consumer_lag))
     if ingest:
         if not (args.pods and args.routes):
             ap.error("--pods and --routes must be given together")
@@ -112,7 +123,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--pods/--routes are required to run ingest batches "
                  "(or pass a maintenance flag: --compact-table, "
                  "--delete-where, --merge-from, --materialize-deletes, "
-                 "--vacuum-expired, --snapshot-log, --rollback)")
+                 "--vacuum-expired, --snapshot-log, --rollback, "
+                 "--deliver, --consumer-lag)")
     elif not (cfg.output_path and cfg.checkpoint_path):
         ap.error("output/checkpoint must be set via flags or config")
     if args.redrive > 0 and not args.pods:
@@ -123,7 +135,24 @@ def main(argv: list[str] | None = None) -> int:
         if not name or not gen.isdigit():
             ap.error("--rollback wants DIR:GEN, e.g. batch-00000:1")
         rollback_target = (name, int(gen))
+    deliver_target = None
+    if args.deliver:
+        grp, _, dest = args.deliver.partition(":")
+        if not grp or not dest:
+            ap.error("--deliver wants GROUP:DEST, e.g. indexer:/data/mirror")
+        deliver_target = (grp, dest)
     cfg.validate()
+
+    only_lag = args.consumer_lag and not ingest and not any(
+        (args.compact_table, args.delete_where, args.merge_from,
+         args.materialize_deletes, args.vacuum_expired, args.snapshot_log,
+         args.rollback, args.deliver, args.redrive > 0))
+    if only_lag:
+        # the lag gauge is pure metadata — no JVM spin-up for an ops poll
+        from logfowd2_spark.streaming.follower import group_lag
+
+        print(json.dumps({"consumer_lag": group_lag(cfg, args.consumer_lag)}))
+        return 0
 
     spark = build_session(master=args.master,
                           shuffle_partitions=cfg.shuffle_partitions)
@@ -184,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(
                 {"rollback": rollback_batch(cfg, *rollback_target)}))
+        if deliver_target is not None:
+            from logfowd2_spark.streaming.follower import (
+                deliver_exactly_once,
+            )
+
+            print(json.dumps({"deliver": deliver_exactly_once(
+                spark, cfg, deliver_target[0], deliver_target[1])}))
+        if args.consumer_lag:
+            from logfowd2_spark.streaming.follower import group_lag
+
+            print(json.dumps(
+                {"consumer_lag": group_lag(cfg, args.consumer_lag)}))
         if args.snapshot_log:
             from logfowd2_spark.streaming.maintenance import (
                 snapshot_log_table,

@@ -359,6 +359,37 @@ def commit_cursor(cfg: PipelineConfig, group: str, cursor: dict) -> None:
         json.dumps({**cursor, "group": group}).encode())
 
 
+def group_lag(cfg: PipelineConfig, group: str) -> dict:
+    """The group's consumer lag — Kafka's one ops metric that matters,
+    metadata-only (checkpoint manifest + the unconsumed dirs' carried
+    file stats; zero footer opens on manifest-bearing dirs, no Spark
+    job).  Returns {"group", "position", "log_end", "batches_behind",
+    "rows_behind", "unsized_batches"} — ``rows_behind`` sums the
+    unconsumed per-batch dirs' manifest row counts; ids only resolvable
+    through the consolidated generation are counted in
+    ``unsized_batches`` instead of guessed."""
+    from logfowd2_spark.ioutil import tree_num_rows  # noqa: PLC0415
+    from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
+        committed_batch_ids,
+    )
+
+    ids = committed_batch_ids(cfg)
+    cursor = load_cursor(cfg, group)
+    start = _check_alignment(ids, cursor)
+    behind = ids[start:]
+    rows, unsized = 0, []
+    root = os.path.join(cfg.output_path, "routed")
+    for b in behind:
+        d = os.path.join(root, f"batch_id={b}")
+        if os.path.isdir(d):
+            rows += tree_num_rows(d)
+        else:
+            unsized.append(b)
+    return {"group": group, "position": start, "log_end": len(ids),
+            "batches_behind": len(behind), "rows_behind": rows,
+            "unsized_batches": unsized}
+
+
 def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
                          group: str, dest: str, transform=None,
                          max_batches: int | None = None) -> dict:

@@ -42,3 +42,20 @@ def test_redrive_requires_pods():
 
 def test_maintenance_requires_output_and_checkpoint():
     _err(["--merge-from", "/tmp/u.parquet"])
+
+
+def test_deliver_wants_group_and_dest():
+    _err(["--deliver", "groupnodest",
+          "--output", "/tmp/x", "--checkpoint", "/tmp/y"])
+
+
+def test_consumer_lag_standalone_skips_spark(tmp_path, capsys):
+    # metadata-only ops poll: no JVM, answers instantly on an empty log
+    import json
+
+    rc = main(["--consumer-lag", "g",
+               "--output", str(tmp_path / "out"),
+               "--checkpoint", str(tmp_path / "ckpt")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["consumer_lag"]["batches_behind"] == 0
