@@ -137,14 +137,40 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
     carry.is_carry = True  # excluded from histogram samples
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os  # noqa: PLC0415
         import time  # noqa: PLC0415
 
+        from logfowd2_spark.streaming.checkpoint import (  # noqa: PLC0415
+            BatchRecord, load_manifest, save_manifest,
+        )
         from logfowd2_spark.streaming.metrics import emit_metrics  # noqa: PLC0415
 
         t0 = time.perf_counter()
-        m = execute_unified_batch(batch_df, pods, cfg,
-                                  f"stream-{batch_id:05d}")
+        bid = f"stream-{batch_id:05d}"
+        m = execute_unified_batch(batch_df, pods, cfg, bid)
         m.wall_ms = (time.perf_counter() - t0) * 1000.0
+        # record the commit in the SAME batch-log manifest the batch
+        # driver writes: the table-maintenance stack (compact_table,
+        # delete_where, as-of/between reads) and consumer-group
+        # followers key off committed_batch_ids, so a streaming-
+        # committed batch must appear there too.  Input-file dedup
+        # stays Spark's job (the streaming source checkpoint); a
+        # crash-replayed trigger rewrites the SAME deterministic batch
+        # dir and the committed() guard keeps the log append-only.
+        manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
+        man = load_manifest(manifest_path)
+        if not man.committed(bid):
+            man.batches[bid] = BatchRecord(
+                batch_id=bid,
+                input_files=[],  # tracked by the stream's own source log
+                rows_in=m.rows_in,
+                rows_parsed=m.rows_parsed,
+                parse_failures=m.parse_failures,
+                sink_counts=m.sink_counts,
+                partition_metrics=m.partition_metrics,
+                failure_counts=m.failure_counts,
+            )
+            save_manifest(man, manifest_path)
         state["batches"] += 1
         gauges.observe(m.wall_ms, failed=not m.conservation_ok())
         if len(window) == window.maxlen:

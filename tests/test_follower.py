@@ -161,6 +161,35 @@ def test_deliver_exactly_once(spark, env):
         deliver_exactly_once(spark, cfg, "hijack", dest)
 
 
+def test_follower_tails_streaming_output(spark, tmp_path):
+    """Structured-streaming ingest commits into the SAME batch log the
+    batch driver writes, so a consumer group tails streaming output
+    with no special casing — the batch-axis contract is mode-blind."""
+    from logfowd2_spark.streaming.pipeline import load_routes
+    from logfowd2_spark.streaming.stream import streaming_pipeline
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=400,
+                                seed=55, n_files=4)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_line_size=256,
+    )
+    cfg.routes = load_routes(spark, paths["routes"])
+    pods = spark.read.parquet(paths["pods"])
+    q = streaming_pipeline(spark, cfg, pods, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    ids = committed_batch_ids(cfg)
+    assert ids and all(b.startswith("stream-") for b in ids)
+    got = poll(spark, cfg, "tailer")
+    assert got.batch_ids == ids
+    assert _count(got.df) == read_routed(spark, cfg).count()
+    commit_cursor(cfg, "tailer", got.cursor)
+    assert poll(spark, cfg, "tailer").df is None
+
+
 def test_deliver_crash_before_commit_point(spark, env, monkeypatch):
     """Crash AFTER staging but BEFORE the manifest flip: nothing is
     visible, and the retry delivers the identical range once."""
