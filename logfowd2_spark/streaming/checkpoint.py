@@ -46,9 +46,33 @@ class Manifest:
     version: int = MANIFEST_VERSION
     batches: dict[str, BatchRecord] = field(default_factory=dict)
     checksum: str | None = None
+    # explicit COMMIT order of the batch log.  dict insertion order is
+    # not durable (the canonical form sorts for deterministic
+    # checksums), and lexicographic id order diverges from commit order
+    # as soon as id families mix (batch-* vs stream-* vs merge-*) or a
+    # zero-padded counter rolls over — and every positional consumer
+    # (read_routed_between, consumer-group followers) needs the TRUE
+    # append order
+    order: list[str] = field(default_factory=list)
 
     def committed(self, batch_id: str) -> bool:
         return batch_id in self.batches
+
+    def record(self, rec: BatchRecord) -> None:
+        """Append a commit to the log (idempotent per batch id)."""
+        if rec.batch_id not in self.batches:
+            self.order.append(rec.batch_id)
+        self.batches[rec.batch_id] = rec
+
+    def committed_ids(self) -> list[str]:
+        """Batch ids in commit order (legacy manifests without an
+        ``order`` list fall back to the old sorted-key order, which
+        was commit order for single-family zero-padded ids)."""
+        if self.order:
+            known = [b for b in self.order if b in self.batches]
+            rest = sorted(b for b in self.batches if b not in set(known))
+            return known + rest
+        return sorted(self.batches.keys())
 
 
 def _record_dict(rec: BatchRecord) -> dict:
@@ -69,6 +93,12 @@ def _canonical_json(man: Manifest) -> str:
         "version": man.version,
         "batches": {k: _record_dict(v) for k, v in sorted(man.batches.items())},
     }
+    # the commit-order list is part of the canonical form only when it
+    # carries information (differs from sorted-key order) — manifests
+    # written before it existed, and single-family zero-padded logs,
+    # keep their original checksum and byte shape
+    if man.order and list(man.order) != sorted(man.batches.keys()):
+        body["order"] = list(man.order)
     # deterministically sorted, like the reference's checksum input
     # (state.rs:259-285)
     return json.dumps(body, sort_keys=True, separators=(",", ":"))
@@ -103,9 +133,12 @@ def _load_one(path: str) -> Manifest | None:
             batches={
                 k: BatchRecord(**v) for k, v in data["batches"].items()
             },
+            order=list(data.get("order") or []),
         )
         if _checksum(_canonical_json(man)) != doc.get("checksum"):
             return None  # corrupt — like state.rs checksum mismatch
+        if not man.order:
+            man.order = sorted(man.batches.keys())  # legacy manifests
         return man
     except (OSError, KeyError, ValueError, TypeError):
         return None

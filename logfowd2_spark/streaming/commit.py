@@ -924,16 +924,21 @@ def changelog_entries(live: str, from_generation: int,
         if op == "replace":
             man_prev = man  # content-preserving: diff across it
             continue
-        if elide_consolidations and op == "append" and \
-                (man.get("consolidates") or None) != \
-                (man_prev.get("consolidates") or None):
+        prev_c = man_prev.get("consolidates") or []
+        cur_c = man.get("consolidates") or []
+        if elide_consolidations and op == "append" and cur_c != prev_c \
+                and not all(str(b).startswith("merge-")
+                            for b in set(cur_c) - set(prev_c)):
             # a table consolidation's append: its added rows MOVED here
             # from per-batch dirs (row-count-verified, compact_table) —
             # content-preserving at TABLE level, so a table-scoped CDC
             # reader diffs straight across it.  The marker is the
             # cumulative ``consolidates`` id list advancing; metadata
             # snapshots and COW rewrites carry the list forward
-            # unchanged, so only genuine consolidation flips match.
+            # unchanged, so only genuine consolidation flips match —
+            # EXCEPT merge_into's insert flip, which also advances the
+            # list (its synthetic ``merge-*`` id) but ADDS logical
+            # rows: that one stays a real append in the changelog.
             man_prev = man
             continue
         prev_files = set(man_prev["files"])

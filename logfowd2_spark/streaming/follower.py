@@ -66,7 +66,12 @@ class CursorDiverged(RuntimeError):
 
 
 def _group_dir(cfg: PipelineConfig, group: str) -> str:
-    if not group or "/" in group or group.startswith("_CURSOR"):
+    import re  # noqa: PLC0415
+
+    # conservative charset, no leading dot/underscore: rules out path
+    # escapes ('..'), separator smuggling, and collisions with the
+    # layout's own underscore-prefixed metadata names
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", group):
         raise ValueError(f"invalid consumer group name {group!r}")
     return os.path.join(cfg.output_path, CONSUMERS_DIR, group)
 
@@ -351,6 +356,30 @@ def commit_cursor(cfg: PipelineConfig, group: str, cursor: dict) -> None:
             f"group {group!r} is already at position {have['position']} "
             f"(last {have.get('last_batch')!r}); refusing to regress to "
             f"{cursor['position']}")
+    if have is not None and have.get("mode") != cursor.get("mode"):
+        raise CommitConflict(
+            f"group {group!r} is a "
+            f"{'CDC' if have.get('mode') == 'changes' else 'appends'}-mode "
+            f"group; refusing a cursor of the other mode")
+    if have is not None and cursor.get("mode") == "changes" \
+            and int(have["position"]) == int(cursor["position"]):
+        # equal-position CDC commits must not regress the retraction
+        # sub-state either: a stale worker's cursor with an older
+        # cons_gen or older per-dir generations would re-deliver
+        # already-applied changes (negative multiplicities downstream)
+        hc, cc = have.get("cons_gen") or -1, cursor.get("cons_gen") or -1
+        hd = have.get("dirs") or {}
+        cd = cursor.get("dirs") or {}
+        if cc < hc:
+            raise CommitConflict(
+                f"group {group!r} consolidated-changelog position would "
+                f"regress {hc} -> {cc}")
+        stale = [n for n, g in hd.items()
+                 if (n in cd and cd[n] < g) or (n not in cd and cc <= hc)]
+        if stale:
+            raise CommitConflict(
+                f"group {group!r} per-dir changelog positions would "
+                f"regress: {sorted(stale)}")
     committer = get_committer(cfg.commit_protocol)
     gdir = _group_dir(cfg, group)
     os.makedirs(gdir, exist_ok=True)
@@ -425,8 +454,30 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
         raise ValueError(
             f"{dest!r} is the sink of group {cur.get('group')!r}, "
             f"not {group!r}")
+    if cur is None:
+        # a FRESH destination must start from the log's beginning — an
+        # explicit zero cursor, never the consumers-dir one (falling
+        # back there would silently skip every batch a poll/commit
+        # consumer already advanced past, leaving the mirror
+        # permanently missing data).  Reusing such a group is refused.
+        if load_cursor(cfg, group) is not None:
+            raise ValueError(
+                f"group {group!r} already has a durable poll/commit "
+                f"cursor; deliver into a fresh group (or resume the "
+                f"existing destination)")
+        cur = {"version": 1, "group": group,
+               "position": 0, "last_batch": None}
     got = poll(spark, cfg, group, max_batches=max_batches, cursor=cur)
     if not got.batch_ids:
+        if man is not None:  # keep the lag gauge honest after a
+            from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+                CommitConflict,
+            )
+
+            try:  # crash-replayed flip advanced the dest cursor
+                commit_cursor(cfg, group, got.cursor)
+            except CommitConflict:
+                pass
         return {"batch_ids": [], "rows": 0,
                 "generation": (man or {}).get("generation")}
     df = got.df if transform is None else transform(got.df)
@@ -445,5 +496,16 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
     stats = man.get("stats") or {}
     rows = sum(int(stats[f].get("rows", 0))
                for f in man.get("added", []) if f in stats)
+    # observability write-through: mirror the committed cursor into the
+    # consumers dir so `--consumer-lag GROUP` reads the truth.  The
+    # destination manifest stays the source of record (a crash between
+    # the flip and this mirror only leaves the gauge one delivery
+    # stale, corrected by the next call).
+    from logfowd2_spark.streaming.commit import CommitConflict  # noqa: PLC0415
+
+    try:
+        commit_cursor(cfg, group, got.cursor)
+    except CommitConflict:
+        pass  # a legacy/poll cursor is ahead — the gauge keeps it
     return {"batch_ids": got.batch_ids, "rows": rows,
             "generation": man["generation"]}

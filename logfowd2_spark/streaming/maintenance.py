@@ -27,7 +27,7 @@ from logfowd2_spark.streaming.checkpoint import load_manifest
 
 def committed_batch_ids(cfg: PipelineConfig) -> list[str]:
     man = load_manifest(os.path.join(cfg.checkpoint_path, "manifest.json"))
-    return list(man.batches.keys())  # insertion order == commit order
+    return man.committed_ids()  # durable COMMIT order (Manifest.order)
 
 
 def resolve_batch_paths(root: str, batch_id: str,
@@ -853,6 +853,11 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
         prev_s = manifest_schema(cons_man)
         extra = {"consolidates":
                  tman["consolidated_ids"] + [merge_id]}
+        if cons_man and cons_man.get("consolidated_gens"):
+            # absorption lineage is cumulative — dropping it here would
+            # break consolidation_coverage (and with it the CDC
+            # followers' reaped-dir proof) after any merge-with-inserts
+            extra["consolidated_gens"] = cons_man["consolidated_gens"]
         if cons_man and cons_man.get("deleted_rows"):
             extra["deleted_rows"] = cons_man["deleted_rows"]
         if ins_schema is not None:
@@ -868,6 +873,24 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
             "consolidated_ids": tman["consolidated_ids"] + [merge_id],
             "pending": tman.get("pending", []),
         })
+        # the insert batch joins the checkpoint BATCH LOG too: every
+        # batch-axis consumer (committed_batch_ids → read_routed_between,
+        # consumer-group followers, as-of reads) must see merged-in rows
+        # — _TABLE.json alone makes them reachable by full scans but
+        # invisible to the log.  Idempotent re-merges find the keys
+        # matched, so a duplicate record cannot occur for the same id.
+        from logfowd2_spark.streaming.checkpoint import (  # noqa: PLC0415
+            BatchRecord, load_manifest, save_manifest,
+        )
+
+        manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
+        log = load_manifest(manifest_path)
+        if not log.committed(merge_id):
+            log.record(BatchRecord(
+                batch_id=merge_id, input_files=[], rows_in=n_ins,
+                rows_parsed=n_ins, parse_failures=0, sink_counts={},
+                partition_metrics=[]))
+            save_manifest(log, manifest_path)
     return {"updated_rows": updated_rows, "inserted_rows": n_ins,
             "files_rewritten": files_rewritten,
             "insert_batch_id": merge_id, "dirs": dirs}

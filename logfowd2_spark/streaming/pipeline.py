@@ -519,9 +519,9 @@ def run_pipeline(
             continue
         if not cfg.read_existing_on_startup:
             # skip-existing semantics: record watermark, emit nothing
-            man.batches[batch_id] = BatchRecord(
+            man.record(BatchRecord(
                 batch_id, chunk, 0, 0, 0, {}, []
-            )
+            ))
             save_manifest(man, manifest_path)
             continue
         try:
@@ -538,7 +538,7 @@ def run_pipeline(
             # a conservation break counts as a failed delivery — it is
             # the batch-mode analogue of a bulk call that lost docs
             gauges.observe(m.wall_ms, failed=not m.conservation_ok())
-        man.batches[batch_id] = BatchRecord(
+        man.record(BatchRecord(
             batch_id=batch_id,
             input_files=chunk,
             rows_in=m.rows_in,
@@ -547,7 +547,7 @@ def run_pipeline(
             sink_counts=m.sink_counts,
             partition_metrics=m.partition_metrics,
             failure_counts=m.failure_counts,
-        )
+        ))
         save_manifest(man, manifest_path)  # commit point
         results.append(m)
         if cfg.dedup_store_enabled:

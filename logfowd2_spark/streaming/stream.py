@@ -158,9 +158,14 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
         # crash-replayed trigger rewrites the SAME deterministic batch
         # dir and the committed() guard keeps the log append-only.
         manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
-        man = load_manifest(manifest_path)
+        # loaded ONCE per stream and kept on the driver (foreachBatch is
+        # single-threaded per query): re-parsing the whole log every
+        # trigger would cost O(committed batches) per micro-batch
+        if "manifest" not in state:
+            state["manifest"] = load_manifest(manifest_path)
+        man = state["manifest"]
         if not man.committed(bid):
-            man.batches[bid] = BatchRecord(
+            man.record(BatchRecord(
                 batch_id=bid,
                 input_files=[],  # tracked by the stream's own source log
                 rows_in=m.rows_in,
@@ -169,7 +174,7 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
                 sink_counts=m.sink_counts,
                 partition_metrics=m.partition_metrics,
                 failure_counts=m.failure_counts,
-            )
+            ))
             save_manifest(man, manifest_path)
         state["batches"] += 1
         gauges.observe(m.wall_ms, failed=not m.conservation_ok())

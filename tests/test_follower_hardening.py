@@ -1,0 +1,186 @@
+"""Hardening regressions from the round-5 review of the follower
+stack: durable commit-order for mixed-mode batch logs, merge inserts
+visible to every follower mode, fresh-destination delivery never
+inheriting a poll cursor, the lag gauge tracking delivery groups,
+CDC sub-state regression refusal, and group-name path-escape guards.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from logfowd2_spark import synth
+from logfowd2_spark.config import PipelineConfig
+from logfowd2_spark.streaming.checkpoint import (
+    BatchRecord,
+    Manifest,
+    load_manifest,
+    save_manifest,
+)
+from logfowd2_spark.streaming.commit import CommitConflict
+from logfowd2_spark.streaming.follower import (
+    commit_cursor,
+    deliver_exactly_once,
+    group_lag,
+    poll,
+    poll_changes,
+)
+from logfowd2_spark.streaming.maintenance import (
+    committed_batch_ids,
+    merge_into,
+)
+from logfowd2_spark.streaming.pipeline import read_routed, run_pipeline
+
+
+def _rec(bid):
+    return BatchRecord(bid, [], 1, 1, 0, {}, [])
+
+
+def test_batch_log_preserves_commit_order_across_id_families(tmp_path):
+    """stream-* then batch-* then merge-* ids: committed order, not
+    lexicographic order, survives the save/load round-trip."""
+    path = str(tmp_path / "manifest.json")
+    man = Manifest()
+    for bid in ["stream-00000", "stream-00001", "batch-00000",
+                "merge-00000", "stream-00002"]:
+        man.record(_rec(bid))
+    save_manifest(man, path)
+    got = load_manifest(path)
+    assert got.committed_ids() == ["stream-00000", "stream-00001",
+                                   "batch-00000", "merge-00000",
+                                   "stream-00002"]
+
+
+def test_batch_log_counter_rollover_order(tmp_path):
+    path = str(tmp_path / "manifest.json")
+    man = Manifest()
+    man.record(_rec("stream-99999"))
+    man.record(_rec("stream-100000"))  # sorts BEFORE 99999 textually
+    save_manifest(man, path)
+    assert load_manifest(path).committed_ids() == [
+        "stream-99999", "stream-100000"]
+
+
+def test_legacy_manifest_checksum_still_verifies(tmp_path):
+    """Manifests whose order matches sorted keys keep the pre-`order`
+    canonical form (old files load; new files stay byte-compatible)."""
+    import json
+
+    path = str(tmp_path / "manifest.json")
+    man = Manifest()
+    man.record(_rec("batch-00000"))
+    man.record(_rec("batch-00001"))
+    save_manifest(man, path)
+    doc = json.load(open(path))
+    assert "order" not in doc["data"]  # canonical form unchanged
+    got = load_manifest(path)  # checksum verifies, order backfilled
+    assert got.committed_ids() == ["batch-00000", "batch-00001"]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=300,
+                                seed=13, n_files=2)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_line_size=256,
+        commit_protocol="rename",
+        vacuum_retention_s=3600.0,
+    )
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    return cfg
+
+
+def _merge_updates(spark, cfg, n_new=2):
+    pdf = read_routed(spark, cfg).toPandas().head(1)
+    ld = pdf["log_date"].iloc[0]
+    return spark.createDataFrame(
+        [(f"merged-{i}", "logs-app", ld, 7) for i in range(n_new)],
+        "doc_id string, sink_id string, log_date date, n_tok int",
+    )
+
+
+def test_merge_inserts_reach_followers(spark, table):
+    cfg = table
+    # appends-mode group consumes everything, then a merge inserts rows
+    got = poll(spark, cfg, "a")
+    commit_cursor(cfg, "a", got.cursor)
+    cdc = poll_changes(spark, cfg, "c")
+    commit_cursor(cfg, "c", cdc.cursor)
+
+    res = merge_into(spark, cfg, _merge_updates(spark, cfg))
+    assert res["inserted_rows"] == 2
+    mid = res["insert_batch_id"]
+    assert committed_batch_ids(cfg)[-1] == mid
+
+    nxt = poll(spark, cfg, "a")
+    assert nxt.batch_ids == [mid]
+    rows = nxt.df.select("doc_id").collect()
+    assert {r["doc_id"] for r in rows} == {"merged-0", "merged-1"}
+    commit_cursor(cfg, "a", nxt.cursor)
+
+    cnx = poll_changes(spark, cfg, "c")
+    assert cnx.batch_ids == [mid]
+    ins = cnx.df.filter(F.col("_change_type") == "insert") \
+        .select("doc_id").collect()
+    assert {r["doc_id"] for r in ins} == {"merged-0", "merged-1"}
+    assert cnx.df.filter(F.col("_change_type") == "delete").count() == 0
+    commit_cursor(cfg, "c", cnx.cursor)
+    # exactly once: nothing re-delivered
+    assert poll(spark, cfg, "a").df is None
+    again = poll_changes(spark, cfg, "c")
+    assert again.df is None or again.df.count() == 0
+
+
+def test_fresh_dest_never_inherits_poll_cursor(spark, table):
+    cfg = table
+    got = poll(spark, cfg, "shared")
+    commit_cursor(cfg, "shared", got.cursor)  # group used for polling
+    with pytest.raises(ValueError, match="durable poll/commit cursor"):
+        deliver_exactly_once(spark, cfg, "shared",
+                             os.path.join(cfg.output_path, "m1"))
+    # a fresh group delivers the WHOLE log into a fresh dest
+    dest = os.path.join(cfg.output_path, "m2")
+    r = deliver_exactly_once(spark, cfg, "fresh", dest)
+    assert r["rows"] == read_routed(spark, cfg).count()
+
+
+def test_lag_gauge_tracks_delivery_groups(spark, table):
+    cfg = table
+    dest = os.path.join(cfg.output_path, "mirror")
+    deliver_exactly_once(spark, cfg, "dg", dest)
+    lag = group_lag(cfg, "dg")
+    assert lag["batches_behind"] == 0 and lag["rows_behind"] == 0
+
+
+def test_cdc_equal_position_substate_regression_refused(spark, table):
+    cfg = table
+    from logfowd2_spark.streaming.maintenance import delete_where
+
+    got = poll_changes(spark, cfg, "g")
+    commit_cursor(cfg, "g", got.cursor)
+    stale = poll_changes(spark, cfg, "g")  # worker A (pre-delete)
+    pdf = read_routed(spark, cfg).toPandas()
+    pod = pdf["pod_name"].value_counts().index[0]
+    delete_where(spark, cfg, [("pod_name", "==", pod)])
+    fresh = poll_changes(spark, cfg, "g")  # worker B (post-delete)
+    commit_cursor(cfg, "g", fresh.cursor)
+    with pytest.raises(CommitConflict, match="regress"):
+        commit_cursor(cfg, "g", stale.cursor)
+    # cross-mode commits refused outright
+    ap = poll(spark, cfg, "apx")
+    commit_cursor(cfg, "apx", ap.cursor)
+    bad = dict(fresh.cursor, group="apx")
+    with pytest.raises(CommitConflict, match="appends-mode"):
+        commit_cursor(cfg, "apx", bad)
+
+
+def test_group_name_path_escape_rejected(spark, table):
+    cfg = table
+    for bad in ("..", ".", "a/b", "a\\b" * 40, "_CURSOR", ".hidden", ""):
+        with pytest.raises(ValueError, match="invalid consumer group"):
+            group_lag(cfg, bad)

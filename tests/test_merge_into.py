@@ -161,8 +161,14 @@ def test_mixed_merge_and_consolidated_target(spark, tmp_path_factory):
         read_routed_as_of,
     )
     ids = committed_batch_ids(cfg)
-    asof = read_routed_as_of(spark, cfg, ids[-1]).toPandas()
+    # the insert batch is itself part of the batch log now
+    assert ids[-1] == res["insert_batch_id"]
+    last_orig = [b for b in ids if not b.startswith("merge-")][-1]
+    asof = read_routed_as_of(spark, cfg, last_orig).toPandas()
     assert "brand-new" not in set(asof["doc_id"])
+    # ...and as-of the merge batch includes its inserts
+    asof2 = read_routed_as_of(spark, cfg, ids[-1]).toPandas()
+    assert "brand-new" in set(asof2["doc_id"])
 
 
 def test_merge_validation(spark, tmp_path_factory):
