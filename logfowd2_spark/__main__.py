@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
                          "exactly-once delivery (the group cursor "
                          "advances inside DEST's manifest flip — "
                          "follower.deliver_exactly_once)")
+    ap.add_argument("--deliver-mode", choices=("appends", "changes"),
+                    default="appends",
+                    help="appends = mirror new batches; changes = CDC "
+                         "changelog feed (_change_type rows, deletes "
+                         "included) — a destination is permanently one "
+                         "mode")
     ap.add_argument("--consumer-lag", metavar="GROUP",
                     help="print GROUP's consumer lag (batches/rows "
                          "behind the committed log) as JSON — "
@@ -219,7 +225,8 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             print(json.dumps({"deliver": deliver_exactly_once(
-                spark, cfg, deliver_target[0], deliver_target[1])}))
+                spark, cfg, deliver_target[0], deliver_target[1],
+                mode=args.deliver_mode)}))
         if args.consumer_lag:
             from logfowd2_spark.streaming.follower import group_lag
 

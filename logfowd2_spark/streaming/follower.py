@@ -172,7 +172,8 @@ def poll(spark: SparkSession, cfg: PipelineConfig, group: str,
 
 
 def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
-                 max_batches: int | None = None) -> Delivery:
+                 max_batches: int | None = None,
+                 cursor: dict | None = None) -> Delivery:
     """CDC-mode poll: the group's next delivery INCLUDING retractions —
     data columns plus ``_change_type`` ('insert'/'delete'),
     ``_change_generation``, and ``_change_source`` (which table dir
@@ -223,8 +224,14 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
 
     recover_compactions(cfg)
     ids = committed_batch_ids(cfg)
-    cursor = load_cursor(cfg, group)
-    if cursor is not None and cursor.get("mode") != "changes":
+    if cursor is None:
+        cursor = load_cursor(cfg, group)
+    elif cursor.get("group") not in (None, group):
+        raise ValueError(
+            f"cursor belongs to group {cursor.get('group')!r}, "
+            f"polled as {group!r}")
+    if cursor is not None and cursor.get("mode") != "changes" \
+            and int(cursor.get("position") or 0) > 0:
         raise ValueError(
             f"group {group!r} is an appends-mode group — re-polling it "
             f"as CDC would re-deliver everything; use a new group")
@@ -421,7 +428,8 @@ def group_lag(cfg: PipelineConfig, group: str) -> dict:
 
 def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
                          group: str, dest: str, transform=None,
-                         max_batches: int | None = None) -> dict:
+                         max_batches: int | None = None,
+                         mode: str = "appends") -> dict:
     """Tail the routed table into the parquet table at ``dest`` with
     EXACTLY-ONCE delivery: the group cursor lives inside ``dest``'s own
     ``_FILES.json`` and advances in the same atomic manifest flip that
@@ -437,7 +445,13 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
     ``transform`` (df -> df) runs inside the delivery, so a downstream
     projection/filter/repartition ships in the same transaction.
     Returns {"batch_ids", "rows", "generation"} (rows from the
-    committed manifest's file stats — no recount)."""
+    committed manifest's file stats — no recount).
+
+    ``mode="changes"`` delivers the CDC feed instead (``poll_changes``:
+    inserts AND retractions as ``_change_type`` rows) — the destination
+    becomes an exactly-once CHANGELOG table downstream jobs replay,
+    with the same one-flip offset+output transaction.  A destination is
+    permanently one mode (recorded in its cursor)."""
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
         get_committer, manifest_swap, read_file_manifest, stage_path,
     )
@@ -454,6 +468,9 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
         raise ValueError(
             f"{dest!r} is the sink of group {cur.get('group')!r}, "
             f"not {group!r}")
+    if mode not in ("appends", "changes"):
+        raise ValueError(f"mode must be 'appends' or 'changes', not "
+                         f"{mode!r}")
     if cur is None:
         # a FRESH destination must start from the log's beginning — an
         # explicit zero cursor, never the consumers-dir one (falling
@@ -467,8 +484,20 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
                 f"existing destination)")
         cur = {"version": 1, "group": group,
                "position": 0, "last_batch": None}
-    got = poll(spark, cfg, group, max_batches=max_batches, cursor=cur)
-    if not got.batch_ids:
+        if mode == "changes":
+            cur.update(version=2, mode="changes", dirs={}, cons_gen=None)
+    elif (cur.get("mode") == "changes") != (mode == "changes"):
+        raise ValueError(
+            f"{dest!r} is a {cur.get('mode') or 'appends'}-mode sink; "
+            f"polled as {mode!r}")
+    if mode == "changes":
+        got = poll_changes(spark, cfg, group, max_batches=max_batches,
+                           cursor=cur)
+    else:
+        got = poll(spark, cfg, group, max_batches=max_batches, cursor=cur)
+    # changes mode can deliver retractions with zero new batches, so
+    # emptiness is "no planned frame", not "no new batch ids"
+    if got.df is None:
         if man is not None:  # keep the lag gauge honest after a
             from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
                 CommitConflict,

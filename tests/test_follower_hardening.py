@@ -179,6 +179,43 @@ def test_cdc_equal_position_substate_regression_refused(spark, table):
         commit_cursor(cfg, "apx", bad)
 
 
+def test_deliver_exactly_once_changes_mode(spark, table):
+    """An exactly-once CHANGELOG sink: inserts land, a later delete
+    arrives as retraction rows in a new generation, replaying the sink
+    reconstructs the table, and mode mixing on one dest is refused."""
+    from logfowd2_spark.streaming.maintenance import delete_where
+
+    cfg = table
+    dest = os.path.join(cfg.output_path, "cdc-feed")
+    r1 = deliver_exactly_once(spark, cfg, "feed", dest, mode="changes")
+    total0 = read_routed(spark, cfg).count()
+    assert r1["rows"] == total0  # initial inserts
+
+    pdf = read_routed(spark, cfg).toPandas()
+    pod = pdf["pod_name"].value_counts().index[0]
+    n = int((pdf["pod_name"] == pod).sum())
+    delete_where(spark, cfg, [("pod_name", "==", pod)])
+
+    r2 = deliver_exactly_once(spark, cfg, "feed", dest, mode="changes")
+    assert r2["batch_ids"] == [] and r2["rows"] == n  # retractions only
+    feed = spark.read.parquet(dest)
+    assert feed.filter(F.col("_change_type") == "delete").count() == n
+    # replay the changelog: inserts minus deletes == current table
+    ins = {r["doc_id"] for r in feed.filter(
+        F.col("_change_type") == "insert").select("doc_id").collect()}
+    dels = {r["doc_id"] for r in feed.filter(
+        F.col("_change_type") == "delete").select("doc_id").collect()}
+    now = {r["doc_id"] for r in
+           read_routed(spark, cfg).select("doc_id").collect()}
+    assert ins - dels == now
+    # caught up: no flip
+    r3 = deliver_exactly_once(spark, cfg, "feed", dest, mode="changes")
+    assert r3["rows"] == 0 and r3["generation"] == r2["generation"]
+    # the sink is permanently changes-mode
+    with pytest.raises(ValueError, match="-mode sink"):
+        deliver_exactly_once(spark, cfg, "feed", dest)
+
+
 def test_group_name_path_escape_rejected(spark, table):
     cfg = table
     for bad in ("..", ".", "a/b", "a\\b" * 40, "_CURSOR", ".hidden", ""):
