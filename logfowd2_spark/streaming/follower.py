@@ -214,8 +214,8 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        CONSOLIDATED_DIR, consolidation_coverage, read_file_manifest,
-        read_table_manifest,
+        CONSOLIDATED_DIR, changelog_entries, consolidation_coverage,
+        read_file_manifest, read_table_manifest,
     )
     from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
         committed_batch_ids, read_changes_between, recover_compactions,
@@ -274,7 +274,11 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
                 f"dir {name!r} is gone and its absorption lineage "
                 f"{lineage} while group {group!r} consumed through {g} "
                 f"— its changes diverged or expired past retention")
-        if man["generation"] > g:
+        if man["generation"] > g and changelog_entries(
+                os.path.join(root, name), g, man["generation"]):
+            # the metadata check keeps pure-compaction generation
+            # advances from planning (and, in a delivery sink,
+            # flipping) an empty frame
             parts.append(_tagged(
                 read_changes_between(spark, cfg, name, g,
                                      man["generation"]), name, b))
@@ -295,7 +299,10 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
             covs = [coverage()[b]["flip_generation"]
                     for b in consumed if b in coverage()]
             cons_gen = min(covs) if covs else man_c["generation"]
-        if man_c["generation"] > cons_gen and consumed:
+        if man_c["generation"] > cons_gen and consumed and \
+                changelog_entries(cons_live, cons_gen,
+                                  man_c["generation"],
+                                  elide_consolidations=True):
             df = read_changes_between(spark, cfg, CONSOLIDATED_DIR,
                                       cons_gen, man_c["generation"],
                                       elide_consolidations=True)
@@ -363,7 +370,12 @@ def commit_cursor(cfg: PipelineConfig, group: str, cursor: dict) -> None:
             f"group {group!r} is already at position {have['position']} "
             f"(last {have.get('last_batch')!r}); refusing to regress to "
             f"{cursor['position']}")
-    if have is not None and have.get("mode") != cursor.get("mode"):
+    if have is not None and have.get("mode") != cursor.get("mode") \
+            and int(have.get("position") or 0) > 0:
+        # a zero-position cursor consumed nothing, so either mode may
+        # take the group over (mirrors poll_changes' entry guard);
+        # past that, crossing modes would corrupt the position's
+        # meaning
         raise CommitConflict(
             f"group {group!r} is a "
             f"{'CDC' if have.get('mode') == 'changes' else 'appends'}-mode "
@@ -453,9 +465,14 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
     with the same one-flip offset+output transaction.  A destination is
     permanently one mode (recorded in its cursor)."""
     from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-        get_committer, manifest_swap, read_file_manifest, stage_path,
+        CommitConflict, get_committer, manifest_swap, read_file_manifest,
+        stage_path,
     )
 
+    _group_dir(cfg, group)  # validate the name BEFORE any work: an
+    # invalid group must fail fast, never after the delivery flip
+    # (the post-commit observability write-through must only ever see
+    # CommitConflict)
     committer = get_committer(cfg.commit_protocol)
     os.makedirs(dest, exist_ok=True)
     # replay a crashed delivery's pending flip BEFORE reading the
@@ -498,14 +515,10 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
     # changes mode can deliver retractions with zero new batches, so
     # emptiness is "no planned frame", not "no new batch ids"
     if got.df is None:
-        if man is not None:  # keep the lag gauge honest after a
-            from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
-                CommitConflict,
-            )
-
-            try:  # crash-replayed flip advanced the dest cursor
-                commit_cursor(cfg, group, got.cursor)
-            except CommitConflict:
+        if man is not None:
+            try:  # keep the lag gauge honest after a crash-replayed
+                commit_cursor(cfg, group, got.cursor)  # flip advanced
+            except CommitConflict:  # the dest cursor
                 pass
         return {"batch_ids": [], "rows": 0,
                 "generation": (man or {}).get("generation")}
@@ -530,8 +543,6 @@ def deliver_exactly_once(spark: SparkSession, cfg: PipelineConfig,
     # destination manifest stays the source of record (a crash between
     # the flip and this mirror only leaves the gauge one delivery
     # stale, corrected by the next call).
-    from logfowd2_spark.streaming.commit import CommitConflict  # noqa: PLC0415
-
     try:
         commit_cursor(cfg, group, got.cursor)
     except CommitConflict:

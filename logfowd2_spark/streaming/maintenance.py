@@ -925,12 +925,44 @@ def recover_compactions(cfg: PipelineConfig) -> list[str]:
     """Heal interrupted compaction commits under the routed root via the
     configured commit protocol (streaming/commit.py): restores originals
     from ``_old_`` safety dirs (rename protocol) or replays commit-ready
-    stages (put protocol).  Returns the batch dirs healed."""
-    from logfowd2_spark.streaming.commit import get_committer  # noqa: PLC0415
-
-    return get_committer(cfg.commit_protocol).recover(
-        os.path.join(cfg.output_path, "routed")
+    stages (put protocol), then reconciles the checkpoint BATCH LOG
+    against the table pointer: a ``merge-*`` id committed to
+    ``_TABLE.json`` whose batch-log registration was lost to a crash
+    (merge_into flips the table first, registers second) is backfilled
+    — without this, merged-in rows are visible to full scans but
+    permanently invisible to every log-axis consumer (followers,
+    read_routed_between, as-of), and the idempotent re-merge cannot
+    repair it because it finds the keys already matched.  Returns the
+    batch dirs healed."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, read_table_manifest,
     )
+
+    root = os.path.join(cfg.output_path, "routed")
+    healed = get_committer(cfg.commit_protocol).recover(root)
+    tman = read_table_manifest(root)
+    merge_ids = [b for b in (tman or {}).get("consolidated_ids", [])
+                 if str(b).startswith("merge-")]
+    if merge_ids:
+        from logfowd2_spark.streaming.checkpoint import (  # noqa: PLC0415
+            BatchRecord, load_manifest, save_manifest,
+        )
+
+        manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
+        log = load_manifest(manifest_path)
+        missing = [b for b in merge_ids if not log.committed(b)]
+        if missing:
+            # the true commit position is lost with the crash; the end
+            # of the log is the only consistent backfill point (the
+            # rows become consumable NOW, exactly once)
+            for b in missing:
+                log.record(BatchRecord(
+                    batch_id=b, input_files=[], rows_in=0, rows_parsed=0,
+                    parse_failures=0, sink_counts={},
+                    partition_metrics=[]))
+            save_manifest(log, manifest_path)
+            healed = healed + [f"batch_log:{b}" for b in missing]
+    return healed
 
 
 def vacuum_expired_table(cfg: PipelineConfig,

@@ -158,10 +158,19 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
         # crash-replayed trigger rewrites the SAME deterministic batch
         # dir and the committed() guard keeps the log append-only.
         manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
-        # loaded ONCE per stream and kept on the driver (foreachBatch is
-        # single-threaded per query): re-parsing the whole log every
-        # trigger would cost O(committed batches) per micro-batch
-        if "manifest" not in state:
+        # kept on the driver between triggers (foreachBatch is single-
+        # threaded per query) so the steady state skips the O(committed
+        # batches) re-parse — but revalidated by (mtime_ns, size)
+        # against the file on every trigger: another writer (merge_into
+        # registering its insert batch) may have appended to the log,
+        # and saving a stale cached copy would erase that entry
+        # (lost-update clobber)
+        try:
+            st = os.stat(manifest_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = None
+        if state.get("manifest_sig") != sig or "manifest" not in state:
             state["manifest"] = load_manifest(manifest_path)
         man = state["manifest"]
         if not man.committed(bid):
@@ -176,6 +185,11 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
                 failure_counts=m.failure_counts,
             ))
             save_manifest(man, manifest_path)
+            try:  # our own save is the new baseline for the staleness
+                st = os.stat(manifest_path)  # check above
+                state["manifest_sig"] = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                state.pop("manifest_sig", None)
         state["batches"] += 1
         gauges.observe(m.wall_ms, failed=not m.conservation_ok())
         if len(window) == window.maxlen:

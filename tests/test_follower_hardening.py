@@ -216,6 +216,67 @@ def test_deliver_exactly_once_changes_mode(spark, table):
         deliver_exactly_once(spark, cfg, "feed", dest)
 
 
+def test_crashed_merge_registration_backfilled(spark, table):
+    """merge_into crash window: table flipped, batch-log registration
+    lost.  recover_compactions (run by every log consumer) backfills
+    the merge id at the log's end, so merged rows become consumable
+    exactly once instead of being invisible forever."""
+    import json
+
+    from logfowd2_spark.streaming.maintenance import recover_compactions
+
+    cfg = table
+    res = merge_into(spark, cfg, _merge_updates(spark, cfg))
+    mid = res["insert_batch_id"]
+    # simulate the crash: strip the registration from the batch log
+    path = os.path.join(cfg.checkpoint_path, "manifest.json")
+    man = load_manifest(path)
+    del man.batches[mid]
+    man.order.remove(mid)
+    save_manifest(man, path)
+    assert mid not in committed_batch_ids(cfg)
+
+    healed = recover_compactions(cfg)
+    assert f"batch_log:{mid}" in healed
+    assert committed_batch_ids(cfg)[-1] == mid
+    # a follower now receives the merged rows (via the poll's own
+    # recover_compactions — exactly once)
+    got = poll(spark, cfg, "postcrash")
+    assert mid in got.batch_ids
+    ids = {r["doc_id"] for r in got.df.select("doc_id").collect()}
+    assert {"merged-0", "merged-1"} <= ids
+
+
+def test_changes_sink_skips_elided_maintenance(spark, table):
+    """A consolidation (content-preserving) must not flip an empty
+    generation into a changes-mode sink."""
+    from logfowd2_spark.streaming.commit import read_file_manifest
+    from logfowd2_spark.streaming.maintenance import compact_table
+
+    cfg = table
+    dest = os.path.join(cfg.output_path, "feed2")
+    deliver_exactly_once(spark, cfg, "f2", dest, mode="changes")
+    gen0 = read_file_manifest(dest)["generation"]
+    compact_table(spark, cfg)
+    r = deliver_exactly_once(spark, cfg, "f2", dest, mode="changes")
+    assert r["rows"] == 0
+    assert read_file_manifest(dest)["generation"] == gen0
+
+
+def test_zero_position_group_can_switch_modes(spark, table):
+    """A group that consumed nothing may be taken over by either mode
+    (poll-side and commit-side guards agree)."""
+    import json
+
+    cfg = table
+    # fabricate an empty-log appends cursor at position 0
+    commit_cursor(cfg, "zp", {"version": 1, "position": 0,
+                              "last_batch": None})
+    got = poll_changes(spark, cfg, "zp")  # allowed: nothing consumed
+    commit_cursor(cfg, "zp", got.cursor)  # and committable
+    assert (poll_changes(spark, cfg, "zp").df is None)
+
+
 def test_group_name_path_escape_rejected(spark, table):
     cfg = table
     for bad in ("..", ".", "a/b", "a\\b" * 40, "_CURSOR", ".hidden", ""):
