@@ -70,7 +70,8 @@ class Manifest:
         was commit order for single-family zero-padded ids)."""
         if self.order:
             known = [b for b in self.order if b in self.batches]
-            rest = sorted(b for b in self.batches if b not in set(known))
+            seen = set(known)
+            rest = sorted(b for b in self.batches if b not in seen)
             return known + rest
         return sorted(self.batches.keys())
 
