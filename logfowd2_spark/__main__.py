@@ -95,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="print GROUP's consumer lag (batches/rows "
                          "behind the committed log) as JSON — "
                          "metadata-only, no Spark job")
+    ap.add_argument("--tag", metavar="NAME",
+                    help="tag the table's current state under an "
+                         "immutable name: a consistent cross-dir "
+                         "snapshot whose generations are pinned "
+                         "against retention expiry (read back with "
+                         "maintenance.read_tagged) — metadata-only")
+    ap.add_argument("--drop-tag", metavar="NAME",
+                    help="remove a tag; its pinned generations become "
+                         "ordinary retired state for the next sweep")
+    ap.add_argument("--tags", action="store_true",
+                    help="print all tags as JSON — metadata-only")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -118,7 +129,8 @@ def main(argv: list[str] | None = None) -> int:
                             args.merge_from, args.materialize_deletes,
                             args.vacuum_expired, args.snapshot_log,
                             args.rollback, args.deliver,
-                            args.consumer_lag))
+                            args.consumer_lag, args.tag, args.drop_tag,
+                            args.tags))
     if ingest:
         if not (args.pods and args.routes):
             ap.error("--pods and --routes must be given together")
@@ -149,15 +161,33 @@ def main(argv: list[str] | None = None) -> int:
         deliver_target = (grp, dest)
     cfg.validate()
 
-    only_lag = args.consumer_lag and not ingest and not any(
+    # pure-metadata ops (lag gauge, tag create/list/drop) skip the JVM
+    # entirely when nothing else was asked for
+    metadata_only = (args.consumer_lag or args.tag or args.drop_tag
+                     or args.tags) and not ingest and not any(
         (args.compact_table, args.delete_where, args.merge_from,
          args.materialize_deletes, args.vacuum_expired, args.snapshot_log,
          args.rollback, args.deliver, args.redrive > 0))
-    if only_lag:
-        # the lag gauge is pure metadata — no JVM spin-up for an ops poll
-        from logfowd2_spark.streaming.follower import group_lag
+    if metadata_only:
+        if args.tag:
+            from logfowd2_spark.streaming.maintenance import create_tag
 
-        print(json.dumps({"consumer_lag": group_lag(cfg, args.consumer_lag)}))
+            print(json.dumps({"tag": create_tag(cfg, args.tag)}))
+        if args.drop_tag:
+            from logfowd2_spark.streaming.maintenance import drop_tag
+
+            print(json.dumps({"drop_tag": {
+                "name": args.drop_tag,
+                "existed": drop_tag(cfg, args.drop_tag)}}))
+        if args.tags:
+            from logfowd2_spark.streaming.maintenance import list_tags
+
+            print(json.dumps({"tags": list_tags(cfg)}))
+        if args.consumer_lag:
+            from logfowd2_spark.streaming.follower import group_lag
+
+            print(json.dumps(
+                {"consumer_lag": group_lag(cfg, args.consumer_lag)}))
         return 0
 
     spark = build_session(master=args.master,
@@ -191,6 +221,12 @@ def main(argv: list[str] | None = None) -> int:
                 gauges=gauges,
             )
             print(json.dumps({"redrive": summary}))
+        if args.tag and not metadata_only:
+            # tag BEFORE the mutating maintenance ops below: the natural
+            # use of the combined form is a pre-mutation snapshot
+            from logfowd2_spark.streaming.maintenance import create_tag
+
+            print(json.dumps({"tag": create_tag(cfg, args.tag)}))
         if args.delete_where:
             from logfowd2_spark.streaming.maintenance import delete_where
 
@@ -245,6 +281,16 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(
                 {"vacuum_expired": vacuum_expired_table(cfg)}))
+        if args.drop_tag and not metadata_only:
+            from logfowd2_spark.streaming.maintenance import drop_tag
+
+            print(json.dumps({"drop_tag": {
+                "name": args.drop_tag,
+                "existed": drop_tag(cfg, args.drop_tag)}}))
+        if args.tags and not metadata_only:
+            from logfowd2_spark.streaming.maintenance import list_tags
+
+            print(json.dumps({"tags": list_tags(cfg)}))
         print(json.dumps({
             "batches_run": len(metrics),
             # run_pipeline pinned 'auto' to a concrete codec for the run

@@ -1577,7 +1577,8 @@ def _prune_empty_dirs(live: str) -> None:
 
 
 def vacuum_expired(committer, live: str, retention_s: float,
-                   now: float | None = None) -> list[str]:
+                   now: float | None = None,
+                   pinned=frozenset()) -> list[str]:
     """Snapshot expiry — the deferred half of the retention model
     (Iceberg ``expire_snapshots`` / Delta ``VACUUM`` on the plain
     layout): delete retired generations whose supersession is at least
@@ -1585,18 +1586,34 @@ def vacuum_expired(committer, live: str, retention_s: float,
     the expired entries.  A reader that resolved the OLD manifest
     before the flip keeps its complete generation until the window
     passes — the isolation guarantee ``manifest_swap`` alone only gave
-    until its immediate vacuum.  Returns the removed relative paths."""
+    until its immediate vacuum.  Returns the removed relative paths.
+
+    ``pinned`` generations (table TAGS — maintenance.create_tag) are
+    exempt: a retired entry holding any pinned generation's file is
+    kept whole (files stay manifest-tracked, so no later sweep can
+    mistake them for debris), and pinned snapshot-log entries survive
+    so the pinned manifest stays resolvable — Iceberg's tags-pin-
+    snapshots-against-expiry contract."""
     import time as _time  # noqa: PLC0415
 
     man = read_file_manifest(live)
     if man is None:
         return []
     now = _time.time() if now is None else now
+    pinned = set(pinned)
+    pinned_files: set[str] = set()
+    for g in pinned:
+        try:
+            pinned_files |= set(
+                read_file_manifest_at(live, generation=g)["files"])
+        except LookupError:
+            continue  # already unresolvable: nothing left to protect
     keep_current = set(man["files"])
     remaining: list[dict] = []
     removed: list[str] = []
     for ent in man.get("retired", []):
-        if now - ent["superseded_at"] >= retention_s:
+        if now - ent["superseded_at"] >= retention_s and \
+                not (pinned_files and pinned_files & set(ent["files"])):
             for rel in ent["files"]:
                 if rel in keep_current:
                     continue
@@ -1623,7 +1640,8 @@ def vacuum_expired(committer, live: str, retention_s: float,
     # keeping the log bounded at ~retention_window/commit_interval
     # entries no matter how many commits the dir has seen
     for ent in _history_entries(live):
-        if now - ent.get("superseded_at", now) >= retention_s:
+        if now - ent.get("superseded_at", now) >= retention_s and \
+                ent["generation"] not in pinned:
             try:
                 os.remove(_history_path(live, ent["generation"]))
             except OSError:

@@ -965,6 +965,147 @@ def recover_compactions(cfg: PipelineConfig) -> list[str]:
     return healed
 
 
+TAGS_DIR = "_TAGS"
+
+
+def _tags_root(cfg: PipelineConfig) -> str:
+    return os.path.join(cfg.output_path, "routed", TAGS_DIR)
+
+
+def _tag_path(cfg: PipelineConfig, name: str) -> str:
+    import re  # noqa: PLC0415
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    return os.path.join(_tags_root(cfg), f"{name}.json")
+
+
+def create_tag(cfg: PipelineConfig, name: str) -> dict:
+    """Tag the table's CURRENT state under an immutable name — a
+    consistent cross-dir snapshot (every live member dir's generation,
+    captured together) the way Iceberg tags name one snapshot.  Tagged
+    generations are PINNED: ``vacuum_expired_table`` keeps their
+    retired files and snapshot-log entries, and consolidation-
+    superseded member dirs are never reaped, so ``read_tagged`` stays
+    exact for the tag's whole lifetime regardless of later deletes,
+    merges, compactions, or retention sweeps.  One atomic exclusive
+    put; re-creating an existing name raises (drop first — tags never
+    move, Iceberg's immutability rule).
+
+    Requires deferred expiry (``vacuum_retention_s > 0``): with
+    immediate vacuum a rewrite deletes the superseded files before any
+    pin can apply — same contract as Iceberg, where tags pin snapshots
+    against ``expire_snapshots``, not against physical overwrites."""
+    import json as _json  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, _put_file_exclusive, read_file_manifest,
+        read_table_manifest,
+    )
+
+    path = _tag_path(cfg, name)
+    recover_compactions(cfg)
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    cons_ids = set(tman["consolidated_ids"]) if tman else set()
+    ids = committed_batch_ids(cfg)
+    dirs: dict[str, int] = {}
+    for b in ids:
+        if b in cons_ids:
+            continue  # lives in the consolidated generation
+        d = os.path.join(root, f"batch_id={b}")
+        man = read_file_manifest(d)
+        if man is None:
+            raise ValueError(
+                f"batch {b!r} has no manifest — legacy dirs cannot be "
+                f"generation-pinned")
+        dirs[f"batch_id={b}"] = man["generation"]
+    cons_live = os.path.join(root, CONSOLIDATED_DIR)
+    man_c = read_file_manifest(cons_live)
+    if man_c is not None:
+        dirs[CONSOLIDATED_DIR] = man_c["generation"]
+    doc = {"name": name, "created_at": _time.time(),
+           "batch_log": ids, "dirs": dirs}
+    os.makedirs(_tags_root(cfg), exist_ok=True)
+    if not _put_file_exclusive(path, _json.dumps(doc).encode()):
+        raise ValueError(f"tag {name!r} already exists (drop it first)")
+    return doc
+
+
+def list_tags(cfg: PipelineConfig) -> dict[str, dict]:
+    """All tags, by name — metadata-only."""
+    import json as _json  # noqa: PLC0415
+
+    out: dict[str, dict] = {}
+    troot = _tags_root(cfg)
+    if not os.path.isdir(troot):
+        return out
+    for fn in sorted(os.listdir(troot)):
+        if fn.endswith(".json"):
+            try:
+                with open(os.path.join(troot, fn)) as fh:
+                    out[fn[:-5]] = _json.load(fh)
+            except (OSError, ValueError):
+                continue
+    return out
+
+
+def drop_tag(cfg: PipelineConfig, name: str) -> bool:
+    """Remove the tag; its pinned generations become ordinary retired
+    state the next expiry sweep may reap.  Returns whether it existed."""
+    try:
+        os.remove(_tag_path(cfg, name))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def _pinned_by_tags(cfg: PipelineConfig) -> dict[str, set]:
+    """dir name -> set of tag-pinned generations, across all tags."""
+    pinned: dict[str, set] = {}
+    for tag in list_tags(cfg).values():
+        for d, g in (tag.get("dirs") or {}).items():
+            pinned.setdefault(d, set()).add(int(g))
+    return pinned
+
+
+def read_tagged(spark: SparkSession, cfg: PipelineConfig,
+                name: str) -> DataFrame:
+    """Read the table exactly as it was at ``create_tag(name)``: each
+    member dir at its pinned generation, with that snapshot's own
+    schema and tombstones (``read_batch_snapshot``), unioned by name.
+    Loud failure if a pinned snapshot became unreadable (only possible
+    if the tag was dropped and re-created around an expiry sweep)."""
+    import json as _json  # noqa: PLC0415
+
+    path = _tag_path(cfg, name)
+    try:
+        with open(path) as fh:
+            tag = _json.load(fh)
+    except FileNotFoundError:
+        raise LookupError(f"no tag {name!r}") from None
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    parts = []
+    for d, g in sorted((tag.get("dirs") or {}).items()):
+        df = read_batch_snapshot(spark, cfg, d, generation=g)
+        if d.startswith("batch_id=") and "batch_id" not in df.columns:
+            # per-dir reads recover only the partitions BELOW the dir
+            df = df.withColumn("batch_id", F.lit(d.split("=", 1)[1]))
+        parts.append(df)
+    if not parts:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        root = os.path.join(cfg.output_path, "routed")
+        return (spark.read.option("basePath", root).parquet(root)
+                .filter(F.lit(False)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def vacuum_expired_table(cfg: PipelineConfig,
                          now: float | None = None) -> dict[str, list[str]]:
     """Snapshot-expiry maintenance over the whole routed table: run
@@ -983,18 +1124,22 @@ def vacuum_expired_table(cfg: PipelineConfig,
     out: dict[str, list[str]] = {}
     if not os.path.isdir(root):
         return out
+    pinned = _pinned_by_tags(cfg)  # tag-pinned generations survive
     for name in sorted(os.listdir(root)):
         if not name.startswith("batch_id="):
             continue
         removed = vacuum_expired(committer, os.path.join(root, name),
-                                 cfg.vacuum_retention_s, now=now)
+                                 cfg.vacuum_retention_s, now=now,
+                                 pinned=pinned.get(name, frozenset()))
         if removed:
             out[name] = removed
     # the consolidated generation itself also retires old generations
     cons = os.path.join(root, CONSOLIDATED_DIR)
     if os.path.isdir(cons):
         removed = vacuum_expired(committer, cons, cfg.vacuum_retention_s,
-                                 now=now)
+                                 now=now,
+                                 pinned=pinned.get(CONSOLIDATED_DIR,
+                                                   frozenset()))
         if removed:
             out[CONSOLIDATED_DIR] = removed
     reaped = _reap_pending_dirs(cfg, now=now)
@@ -1726,8 +1871,14 @@ def _reap_pending_dirs(cfg: PipelineConfig, now: float | None = None) -> list[st
     if tman is None or not tman.get("pending"):
         return []
     now = _time.time() if now is None else now
+    # a tag naming a superseded per-batch dir pins the DIR: it is the
+    # tag's only copy of that member's data
+    tagged_dirs = set(_pinned_by_tags(cfg))
     remaining, removed = [], []
     for ent in tman["pending"]:
+        if f"batch_id={ent['batch_id']}" in tagged_dirs:
+            remaining.append(ent)
+            continue
         if now - ent["superseded_at"] >= cfg.vacuum_retention_s:
             shutil.rmtree(os.path.join(root, f"batch_id={ent['batch_id']}"),
                           ignore_errors=True)
