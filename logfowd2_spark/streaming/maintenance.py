@@ -995,7 +995,14 @@ def create_tag(cfg: PipelineConfig, name: str) -> dict:
     Requires deferred expiry (``vacuum_retention_s > 0``): with
     immediate vacuum a rewrite deletes the superseded files before any
     pin can apply — same contract as Iceberg, where tags pin snapshots
-    against ``expire_snapshots``, not against physical overwrites."""
+    against ``expire_snapshots``, not against physical overwrites.
+
+    Consistency scope: the capture reads each member dir's current
+    manifest in one metadata pass; a batch committing concurrently
+    simply lands after the tag (a consistent prefix), while a
+    concurrent REWRITE (delete/compact racing the capture) is the same
+    single-maintenance-writer assumption every other table-service op
+    makes — the OCC layer serializes the flips themselves."""
     import json as _json  # noqa: PLC0415
     import time as _time  # noqa: PLC0415
 
