@@ -172,7 +172,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.tag:
             from logfowd2_spark.streaming.maintenance import create_tag
 
-            print(json.dumps({"tag": create_tag(cfg, args.tag)}))
+            try:
+                print(json.dumps({"tag": create_tag(cfg, args.tag)}))
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         if args.drop_tag:
             from logfowd2_spark.streaming.maintenance import drop_tag
 
@@ -221,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
                 gauges=gauges,
             )
             print(json.dumps({"redrive": summary}))
-        if args.tag and not metadata_only:
+        if args.tag:
             # tag BEFORE the mutating maintenance ops below: the natural
             # use of the combined form is a pre-mutation snapshot
             from logfowd2_spark.streaming.maintenance import create_tag
@@ -281,13 +285,13 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(
                 {"vacuum_expired": vacuum_expired_table(cfg)}))
-        if args.drop_tag and not metadata_only:
+        if args.drop_tag:
             from logfowd2_spark.streaming.maintenance import drop_tag
 
             print(json.dumps({"drop_tag": {
                 "name": args.drop_tag,
                 "existed": drop_tag(cfg, args.drop_tag)}}))
-        if args.tags and not metadata_only:
+        if args.tags:
             from logfowd2_spark.streaming.maintenance import list_tags
 
             print(json.dumps({"tags": list_tags(cfg)}))

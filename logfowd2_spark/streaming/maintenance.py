@@ -1012,6 +1012,12 @@ def create_tag(cfg: PipelineConfig, name: str) -> dict:
     )
 
     path = _tag_path(cfg, name)
+    if cfg.vacuum_retention_s <= 0:
+        # with immediate vacuum the next rewrite physically deletes the
+        # superseded files before any pin can apply — refusing here
+        # beats a tag that silently stops answering
+        raise ValueError(
+            "tags require deferred expiry: set vacuum_retention_s > 0")
     recover_compactions(cfg)
     root = os.path.join(cfg.output_path, "routed")
     tman = read_table_manifest(root)
@@ -1049,7 +1055,9 @@ def list_tags(cfg: PipelineConfig) -> dict[str, dict]:
     if not os.path.isdir(troot):
         return out
     for fn in sorted(os.listdir(troot)):
-        if fn.endswith(".json"):
+        # dot-prefixed names are _put_file_exclusive claim temps (crash
+        # debris), not tags — same skip rule as every other listing
+        if fn.endswith(".json") and not fn.startswith("."):
             try:
                 with open(os.path.join(troot, fn)) as fh:
                     out[fn[:-5]] = _json.load(fh)
@@ -1069,9 +1077,27 @@ def drop_tag(cfg: PipelineConfig, name: str) -> bool:
 
 
 def _pinned_by_tags(cfg: PipelineConfig) -> dict[str, set]:
-    """dir name -> set of tag-pinned generations, across all tags."""
+    """dir name -> set of tag-pinned generations, across all tags.
+    STRICT: an unreadable/corrupt tag file raises instead of being
+    skipped — a sweep running with partial pins would destroy the
+    unlucky tag's only copy (``list_tags``'s silent skip is fine for
+    the informational listing, never for the reaper)."""
+    import json as _json  # noqa: PLC0415
+
     pinned: dict[str, set] = {}
-    for tag in list_tags(cfg).values():
+    troot = _tags_root(cfg)
+    if not os.path.isdir(troot):
+        return pinned
+    for fn in sorted(os.listdir(troot)):
+        if not fn.endswith(".json") or fn.startswith("."):
+            continue
+        try:
+            with open(os.path.join(troot, fn)) as fh:
+                tag = _json.load(fh)
+        except (OSError, ValueError) as exc:
+            raise RuntimeError(
+                f"tag file {fn!r} is unreadable ({exc}); refusing to "
+                f"sweep with partial pins") from exc
         for d, g in (tag.get("dirs") or {}).items():
             pinned.setdefault(d, set()).add(int(g))
     return pinned
@@ -1102,11 +1128,14 @@ def read_tagged(spark: SparkSession, cfg: PipelineConfig,
             df = df.withColumn("batch_id", F.lit(d.split("=", 1)[1]))
         parts.append(df)
     if not parts:
-        from pyspark.sql import functions as F  # noqa: PLC0415
+        # a tag of an empty table: provably-empty result planned
+        # without touching storage (the root may not even exist)
+        from pyspark.sql.types import StructType  # noqa: PLC0415
 
-        root = os.path.join(cfg.output_path, "routed")
-        return (spark.read.option("basePath", root).parquet(root)
-                .filter(F.lit(False)))
+        empty = StructType()
+        for fname, ftype in _PARTITION_FIELDS:
+            empty.add(fname, ftype)
+        return spark.createDataFrame([], empty)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
@@ -1149,7 +1178,9 @@ def vacuum_expired_table(cfg: PipelineConfig,
                                                    frozenset()))
         if removed:
             out[CONSOLIDATED_DIR] = removed
-    reaped = _reap_pending_dirs(cfg, now=now)
+    # one pin computation serves the whole sweep: re-reading the tags
+    # mid-sweep could disagree with the first read
+    reaped = _reap_pending_dirs(cfg, now=now, pinned_dirs=set(pinned))
     if reaped:
         out["pending_batch_dirs"] = reaped
     return out
@@ -1861,7 +1892,8 @@ def _recover_table_pointer(cfg: PipelineConfig, committer, root: str,
     return tman
 
 
-def _reap_pending_dirs(cfg: PipelineConfig, now: float | None = None) -> list[str]:
+def _reap_pending_dirs(cfg: PipelineConfig, now: float | None = None,
+                       pinned_dirs: set | None = None) -> list[str]:
     """Remove per-batch dirs superseded by a table consolidation once
     their retention window has passed (``pending`` entries in
     ``_TABLE.json``).  The dirs are retention copies readers already
@@ -1880,7 +1912,8 @@ def _reap_pending_dirs(cfg: PipelineConfig, now: float | None = None) -> list[st
     now = _time.time() if now is None else now
     # a tag naming a superseded per-batch dir pins the DIR: it is the
     # tag's only copy of that member's data
-    tagged_dirs = set(_pinned_by_tags(cfg))
+    tagged_dirs = (set(_pinned_by_tags(cfg))
+                   if pinned_dirs is None else pinned_dirs)
     remaining, removed = [], []
     for ent in tman["pending"]:
         if f"batch_id={ent['batch_id']}" in tagged_dirs:

@@ -120,3 +120,44 @@ def test_tag_immutability_and_validation(spark, table):
     for bad in ("..", "", "a/b", "_x"):
         with pytest.raises(ValueError, match="invalid tag name"):
             create_tag(cfg, bad)
+    # immediate-vacuum configs cannot honor the pin contract: refused
+    cfg.vacuum_retention_s = 0.0
+    with pytest.raises(ValueError, match="deferred expiry"):
+        create_tag(cfg, "unpinnable")
+
+
+def test_claim_debris_is_not_a_tag(spark, table):
+    """_put_file_exclusive's crash debris (dot-prefixed claim temps in
+    _TAGS) must be invisible to the listing AND to the reaper's pin
+    computation, while a genuinely corrupt tag file makes the sweep
+    refuse to run rather than sweep with partial pins."""
+    from logfowd2_spark.streaming.maintenance import _tags_root
+
+    cfg = table
+    create_tag(cfg, "real")
+    troot = _tags_root(cfg)
+    with open(os.path.join(troot, ".claim-deadbeef-real.json"), "w") as fh:
+        fh.write('{"name": "real", "dirs": {"batch_id=zzz": 1}}')
+    assert set(list_tags(cfg)) == {"real"}
+    vacuum_expired_table(cfg)  # debris ignored, no phantom pins
+
+    with open(os.path.join(troot, "corrupt.json"), "w") as fh:
+        fh.write("{not json")
+    assert set(list_tags(cfg)) == {"real"}  # listing stays lenient
+    with pytest.raises(RuntimeError, match="partial pins"):
+        vacuum_expired_table(cfg)  # the reaper does not
+    os.remove(os.path.join(troot, "corrupt.json"))
+
+
+def test_read_tagged_empty_table(spark, tmp_path):
+    cfg = PipelineConfig(
+        input_path=str(tmp_path / "in"),
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        vacuum_retention_s=3600.0,
+    )
+    os.makedirs(cfg.output_path, exist_ok=True)
+    os.makedirs(cfg.checkpoint_path, exist_ok=True)
+    doc = create_tag(cfg, "empty")
+    assert doc["dirs"] == {}
+    assert read_tagged(spark, cfg, "empty").count() == 0
