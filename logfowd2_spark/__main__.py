@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="maintain the incremental dedup store: after "
                          "each batch commit, flag dups vs all history "
                          "and index the batch (streaming/dedup_store.py)")
+    ap.add_argument("--auto-compact", type=int, default=0, metavar="N",
+                    help="automatic table service: consolidate once N "
+                         "or more not-yet-consolidated batch dirs have "
+                         "accumulated (0 = manual only)")
     ap.add_argument("--compact-table", action="store_true",
                     help="after the batches, bin-pack all committed "
                          "batch dirs into the consolidated generation "
@@ -121,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg.checkpoint_path = args.checkpoint
     if args.dedup_store:
         cfg.dedup_store_enabled = True
+    if args.auto_compact:
+        cfg.auto_compact_min_batches = args.auto_compact
     # the ingest stage needs the full surface; maintenance-only
     # invocations (compaction / deletes / merge / vacuum against an
     # already-committed table) need only the table root + checkpoint

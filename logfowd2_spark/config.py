@@ -163,6 +163,17 @@ class PipelineConfig:
     # AND the vacuum for at least this long (streaming/commit.py).
     vacuum_retention_s: float = 0.0
 
+    # --- automatic table service: after a driver run commits its
+    # batches, consolidate once the count of not-yet-consolidated batch
+    # dirs reaches this threshold (maintenance.compact_table).  0 =
+    # manual only (--compact-table).  At 10^5 committed micro-batches
+    # the per-scan cost is 10^5 dir listings + manifest reads — a real
+    # deployment compacts on a policy, not by hand.  Batch-driver only:
+    # inside a streaming trigger the rewrite would stall the cadence
+    # (run it from a parallel maintenance invocation instead — every
+    # commit is protected by the OCC layer).
+    auto_compact_min_batches: int = 0
+
     # --- commit protocol for in-place table mutations (quarantine move,
     # compaction swap, DLQ trim): "rename" = POSIX/HDFS metadata renames
     # (atomic rename assumed); "put" = object-store-safe replayable
@@ -199,6 +210,8 @@ class PipelineConfig:
             raise ValueError("dlq_max_size must be > 0")
         if self.vacuum_retention_s < 0:
             raise ValueError("vacuum_retention_s must be >= 0")
+        if self.auto_compact_min_batches < 0:
+            raise ValueError("auto_compact_min_batches must be >= 0")
         if not all(isinstance(c, str) and c for c in self.stats_detail_cols):
             raise ValueError("stats_detail_cols must be non-empty "
                              "column names")

@@ -575,6 +575,22 @@ def run_pipeline(
         done += 1
         if max_batches is not None and done >= max_batches:
             break
+    if cfg.auto_compact_min_batches > 0:
+        # automatic table service (policy knob, config.py): consolidate
+        # once enough batch dirs accumulated — at 10^5 micro-batches
+        # per-scan metadata cost is the bottleneck, and a production
+        # table compacts on a policy, not by hand.  Runs AFTER the
+        # batch commits so a compaction failure never loses ingest
+        # progress (the next run retries it).
+        from logfowd2_spark.streaming.commit import read_table_manifest  # noqa: PLC0415
+        from logfowd2_spark.streaming.maintenance import compact_table  # noqa: PLC0415
+
+        root = os.path.join(cfg.output_path, "routed")
+        tman = read_table_manifest(root)
+        cons = set(tman["consolidated_ids"]) if tman else set()
+        pending = [b for b in man.committed_ids() if b not in cons]
+        if len(pending) >= cfg.auto_compact_min_batches:
+            compact_table(spark, cfg)
     return results
 
 

@@ -9,6 +9,8 @@ retention-deferred removal of the superseded batch dirs."""
 import json
 import os
 
+import pandas as pd
+
 import pytest
 
 from logfowd2_spark import synth
@@ -256,3 +258,49 @@ def test_crash_between_flip_and_pointer_no_duplication(spark,
     assert read_table_manifest(root)["consolidated_ids"] == ids
     after = _norm(read_routed(spark, cfg).toPandas())
     assert after.equals(baseline), "rerun duplicated the batch's rows"
+
+
+def test_auto_compact_policy(spark, tmp_path):
+    """auto_compact_min_batches: the driver consolidates automatically
+    once enough batch dirs accumulate; below threshold it leaves the
+    table alone; the compacted read stays exact."""
+    from logfowd2_spark import synth
+    from logfowd2_spark.streaming.commit import read_table_manifest
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=300,
+                                seed=61, n_files=4)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_line_size=256,
+        auto_compact_min_batches=3,
+    )
+    # two batches: below threshold, nothing consolidated
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1, max_batches=2)
+    root = os.path.join(cfg.output_path, "routed")
+    assert read_table_manifest(root) is None
+    before = read_routed(spark, cfg).toPandas()
+
+    # the remaining two arrive: 4 >= 3 -> auto-consolidated
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    tman = read_table_manifest(root)
+    assert tman is not None and len(tman["consolidated_ids"]) == 4
+    after = read_routed(spark, cfg).toPandas()
+    assert len(after) > len(before)
+    # and the consolidated read is exact vs a policy-free control run
+    ctl = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out2"),
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        max_line_size=256,
+    )
+    run_pipeline(spark, ctl, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    want = read_routed(spark, ctl).toPandas()
+    key = sorted(after.columns)
+    pd.testing.assert_frame_equal(
+        after[key].astype(str).sort_values(key).reset_index(drop=True),
+        want[key].astype(str).sort_values(key).reset_index(drop=True))
