@@ -233,10 +233,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"redrive": summary}))
         if args.tag:
             # tag BEFORE the mutating maintenance ops below: the natural
-            # use of the combined form is a pre-mutation snapshot
+            # use of the combined form is a pre-mutation snapshot —
+            # and a refused tag aborts those ops (same clean error the
+            # metadata-only path gives, not a traceback mid-sequence)
             from logfowd2_spark.streaming.maintenance import create_tag
 
-            print(json.dumps({"tag": create_tag(cfg, args.tag)}))
+            try:
+                print(json.dumps({"tag": create_tag(cfg, args.tag)}))
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         if args.delete_where:
             from logfowd2_spark.streaming.maintenance import delete_where
 
@@ -270,9 +276,15 @@ def main(argv: list[str] | None = None) -> int:
                 deliver_exactly_once,
             )
 
-            print(json.dumps({"deliver": deliver_exactly_once(
-                spark, cfg, deliver_target[0], deliver_target[1],
-                mode=args.deliver_mode)}))
+            from logfowd2_spark.streaming.follower import CursorDiverged
+
+            try:
+                print(json.dumps({"deliver": deliver_exactly_once(
+                    spark, cfg, deliver_target[0], deliver_target[1],
+                    mode=args.deliver_mode)}))
+            except (ValueError, CursorDiverged) as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         if args.consumer_lag:
             from logfowd2_spark.streaming.follower import group_lag
 

@@ -172,6 +172,18 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def validate_ref_name(name: str, kind: str) -> str:
+    """Shared charset/length rule for user-supplied ref names (consumer
+    groups, table tags): conservative charset, no leading dot or
+    underscore — rules out path escapes ('..'), separator smuggling,
+    and collisions with the layout's underscore-prefixed metadata."""
+    import re  # noqa: PLC0415
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name or ""):
+        raise ValueError(f"invalid {kind} name {name!r}")
+    return name
+
+
 def _list_files(root: str) -> list[str]:
     """All regular files under ``root``, relative paths, sorted."""
     out: list[str] = []
@@ -986,13 +998,25 @@ def consolidation_coverage(live: str) -> dict[str, dict]:
     if cur is not None and (not mans
                             or mans[-1]["generation"] < cur["generation"]):
         mans.append(cur)
+    surviving = {m["generation"] for m in mans}
     out: dict[str, dict] = {}
-    for man in mans:  # ascending generations: first sighting wins
+    for man in mans:  # ascending: first sighting wins
         gens = man.get("consolidated_gens") or {}
         for b in man.get("consolidates") or []:
             if b not in out:
-                out[b] = {"flip_generation": man["generation"],
-                          "source_generation": gens.get(b)}
+                # the sighting is EXACT only when the immediately
+                # preceding generation still survives (so nothing
+                # between the true flip and this one was pruned) or
+                # this is the dir's first generation; after snapshot
+                # expiry the first SURVIVING sighting may be later than
+                # the true absorbing flip, and a CDC baseline built on
+                # it would silently skip the deletes in between — so
+                # callers must treat inexact coverage as expired
+                # lineage (loud, never silent)
+                g = man["generation"]
+                out[b] = {"flip_generation": g,
+                          "source_generation": gens.get(b),
+                          "exact": g == 1 or (g - 1) in surviving}
     return out
 
 
@@ -1606,8 +1630,14 @@ def vacuum_expired(committer, live: str, retention_s: float,
         try:
             pinned_files |= set(
                 read_file_manifest_at(live, generation=g)["files"])
-        except LookupError:
-            continue  # already unresolvable: nothing left to protect
+        except LookupError as exc:
+            # a live pin MUST resolve (tags keep their snapshot-log
+            # entry pinned); an unresolvable one means corruption —
+            # sweeping on would delete the files the pin exists to
+            # protect, in the same pass that failed to see them
+            raise RuntimeError(
+                f"pinned generation {g} of {live!r} is unresolvable "
+                f"({exc}); refusing to sweep with partial pins") from exc
     keep_current = set(man["files"])
     remaining: list[dict] = []
     removed: list[str] = []

@@ -66,13 +66,9 @@ class CursorDiverged(RuntimeError):
 
 
 def _group_dir(cfg: PipelineConfig, group: str) -> str:
-    import re  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import validate_ref_name  # noqa: PLC0415
 
-    # conservative charset, no leading dot/underscore: rules out path
-    # escapes ('..'), separator smuggling, and collisions with the
-    # layout's own underscore-prefixed metadata names
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", group):
-        raise ValueError(f"invalid consumer group name {group!r}")
+    validate_ref_name(group, "consumer group")
     return os.path.join(cfg.output_path, CONSUMERS_DIR, group)
 
 
@@ -262,6 +258,11 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
         b = name.split("=", 1)[1]
         man = read_file_manifest(os.path.join(root, name))
         if man is None:
+            if os.path.isdir(os.path.join(root, name)):
+                # legacy (manifest-less) dir, still unadopted: nothing
+                # can have flipped — keep tracking at the adoption
+                # baseline (_ensure_manifest publishes generation 0)
+                continue
             cov = coverage().get(b)
             if b in cons_ids and cov is not None and \
                     cov.get("source_generation") == g:
@@ -274,14 +275,18 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
                 f"dir {name!r} is gone and its absorption lineage "
                 f"{lineage} while group {group!r} consumed through {g} "
                 f"— its changes diverged or expired past retention")
-        if man["generation"] > g and changelog_entries(
-                os.path.join(root, name), g, man["generation"]):
+        if man["generation"] > g:
+            steps = changelog_entries(os.path.join(root, name), g,
+                                      man["generation"])
             # the metadata check keeps pure-compaction generation
             # advances from planning (and, in a delivery sink,
-            # flipping) an empty frame
-            parts.append(_tagged(
-                read_changes_between(spark, cfg, name, g,
-                                     man["generation"]), name, b))
+            # flipping) an empty frame; the computed slice is passed
+            # through so the read never recomputes it
+            if steps:
+                parts.append(_tagged(
+                    read_changes_between(spark, cfg, name, g,
+                                         man["generation"], steps=steps),
+                    name, b))
         if b in cons_ids:
             del dirs[name]  # future changes surface via _consolidated
         else:
@@ -295,20 +300,33 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
         if cons_gen is None:
             # first sighting: start at the earliest flip that absorbed
             # a CONSUMED batch (earlier deletes on unconsumed batches
-            # are already reflected in their eventual inserts)
-            covs = [coverage()[b]["flip_generation"]
-                    for b in consumed if b in coverage()]
-            cons_gen = min(covs) if covs else man_c["generation"]
-        if man_c["generation"] > cons_gen and consumed and \
-                changelog_entries(cons_live, cons_gen,
-                                  man_c["generation"],
-                                  elide_consolidations=True):
-            df = read_changes_between(spark, cfg, CONSOLIDATED_DIR,
-                                      cons_gen, man_c["generation"],
+            # are already reflected in their eventual inserts).  An
+            # INEXACT sighting — snapshot expiry pruned the log below
+            # the true absorbing flip — would make this baseline skip
+            # the deletes in between: raise instead of silently
+            # diverging (the documented expiry contract).
+            covs = [coverage()[b] for b in consumed if b in coverage()]
+            stale = [c for c in covs if not c.get("exact")]
+            if stale:
+                raise CursorDiverged(
+                    f"group {group!r} first sees the consolidated "
+                    f"changelog after snapshot expiry pruned the "
+                    f"absorption lineage of its consumed batches — "
+                    f"intervening changes expired past retention")
+            cons_gen = (min(c["flip_generation"] for c in covs)
+                        if covs else man_c["generation"])
+        if man_c["generation"] > cons_gen and consumed:
+            steps = changelog_entries(cons_live, cons_gen,
+                                      man_c["generation"],
                                       elide_consolidations=True)
-            parts.append(_tagged(
-                df.filter(F.col("batch_id").isin(list(consumed))),
-                CONSOLIDATED_DIR, None))
+            if steps:
+                df = read_changes_between(
+                    spark, cfg, CONSOLIDATED_DIR, cons_gen,
+                    man_c["generation"], elide_consolidations=True,
+                    steps=steps)
+                parts.append(_tagged(
+                    df.filter(F.col("batch_id").isin(list(consumed))),
+                    CONSOLIDATED_DIR, None))
         cons_gen = man_c["generation"]
 
     # -- 3. inserts: new batches' currently-visible content
@@ -325,9 +343,16 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
         for b in new_ids:
             if b in cons_ids:
                 continue  # rides the consolidated changelog (step 2)
-            man_b = read_file_manifest(
-                os.path.join(root, f"batch_id={b}"))
-            dirs[f"batch_id={b}"] = man_b["generation"] if man_b else 0
+            d = os.path.join(root, f"batch_id={b}")
+            man_b = read_file_manifest(d)
+            if man_b is not None:
+                dirs[f"batch_id={b}"] = man_b["generation"]
+            elif os.path.isdir(d):
+                # legacy dir: adoption publishes generation 0 with the
+                # same content this insert delivered
+                dirs[f"batch_id={b}"] = 0
+            # else: a dir-less watermark record (skip-existing mode,
+            # zero rows) — nothing to track, nothing can ever change
 
     pos = start + len(new_ids)
     nxt = {

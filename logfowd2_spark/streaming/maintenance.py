@@ -193,7 +193,19 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
         # nothing resolved for the requested ids (e.g. consolidated data
         # AND the retention copies are both gone) — return the root scan
         # FILTERED to those ids: empty when the data is truly lost,
-        # never other batches' rows smuggled into the snapshot
+        # never other batches' rows smuggled into the snapshot.  A root
+        # with no data at all (pure watermark-record log: skip-existing
+        # mode committed ids without ever writing a routed dir) is a
+        # provably-empty result, planned without touching storage.
+        from logfowd2_spark.streaming.commit import data_files  # noqa: PLC0415
+
+        if not os.path.isdir(root) or not data_files(root):
+            from pyspark.sql.types import StructType  # noqa: PLC0415
+
+            empty = StructType()
+            for fname, ftype in _PARTITION_FIELDS:
+                empty.add(fname, ftype)
+            return spark.createDataFrame([], empty)
         return (
             spark.read.option("basePath", root).parquet(root)
             .filter(F.col("batch_id").isin(ids))
@@ -973,10 +985,9 @@ def _tags_root(cfg: PipelineConfig) -> str:
 
 
 def _tag_path(cfg: PipelineConfig, name: str) -> str:
-    import re  # noqa: PLC0415
+    from logfowd2_spark.streaming.commit import validate_ref_name  # noqa: PLC0415
 
-    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", name):
-        raise ValueError(f"invalid tag name {name!r}")
+    validate_ref_name(name, "tag")
     return os.path.join(_tags_root(cfg), f"{name}.json")
 
 
@@ -1030,6 +1041,10 @@ def create_tag(cfg: PipelineConfig, name: str) -> dict:
         d = os.path.join(root, f"batch_id={b}")
         man = read_file_manifest(d)
         if man is None:
+            if not os.path.isdir(d):
+                # dir-less watermark record (skip-existing mode): zero
+                # rows committed, nothing to pin
+                continue
             raise ValueError(
                 f"batch {b!r} has no manifest — legacy dirs cannot be "
                 f"generation-pinned")
@@ -1311,7 +1326,8 @@ def read_appended_between(spark: SparkSession, cfg: PipelineConfig,
 def read_changes_between(spark: SparkSession, cfg: PipelineConfig,
                          name: str, from_generation: int,
                          to_generation: int | None = None,
-                         elide_consolidations: bool = False) -> DataFrame:
+                         elide_consolidations: bool = False,
+                         steps: list | None = None) -> DataFrame:
     """CDC changelog read of ONE dir: the exact row-level changes
     committed over ``(from_generation, to_generation]`` — Iceberg's
     ``create_changelog_view`` on the plain layout, and the general
@@ -1356,8 +1372,10 @@ def read_changes_between(spark: SparkSession, cfg: PipelineConfig,
     )
 
     d = _resolve_table_dir(cfg, name)
-    steps = changelog_entries(d, from_generation, to_generation,
-                              elide_consolidations=elide_consolidations)
+    if steps is None:  # callers that already computed the metadata
+        steps = changelog_entries(  # slice (follower) pass it through
+            d, from_generation, to_generation,
+            elide_consolidations=elide_consolidations)
     schemas = [manifest_schema(m) for st in steps
                for m in (st["man_prev"], st["man"])]
     merged = (merge_schemas(schemas)
@@ -1994,7 +2012,13 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
         if upto_batch_id not in ids:
             raise ValueError(f"batch {upto_batch_id!r} is not committed")
         ids = ids[: ids.index(upto_batch_id) + 1]
-    new_ids = [b for b in ids if b not in set(tman["consolidated_ids"])]
+    cons_set = set(tman["consolidated_ids"])
+    # dir-less ids (skip-existing watermark records — zero rows, no
+    # routed dir ever written) have nothing to consolidate; including
+    # them would stage a zero-path rewrite (AnalysisException) and
+    # permanently inflate the auto-compact pending count
+    new_ids = [b for b in ids if b not in cons_set
+               and os.path.isdir(os.path.join(root, f"batch_id={b}"))]
     if not new_ids:
         return {"consolidated_ids": [], "rows": 0,
                 "files_before": 0, "files_after": 0}

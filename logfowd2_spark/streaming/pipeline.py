@@ -588,7 +588,10 @@ def run_pipeline(
         root = os.path.join(cfg.output_path, "routed")
         tman = read_table_manifest(root)
         cons = set(tman["consolidated_ids"]) if tman else set()
-        pending = [b for b in man.committed_ids() if b not in cons]
+        # only dir-backed ids count: skip-existing watermark records
+        # have no routed dir and nothing to consolidate
+        pending = [b for b in man.committed_ids() if b not in cons
+                   and os.path.isdir(os.path.join(root, f"batch_id={b}"))]
         if len(pending) >= cfg.auto_compact_min_batches:
             compact_table(spark, cfg)
     return results

@@ -277,6 +277,45 @@ def test_zero_position_group_can_switch_modes(spark, table):
     assert (poll_changes(spark, cfg, "zp").df is None)
 
 
+def test_dirless_watermark_batches_do_not_wedge(spark, tmp_path):
+    """read_existing_on_startup=False commits watermark records with NO
+    routed dirs — a legal batch-log state every follower mode, tag
+    creation, and the auto-compact policy must treat as zero rows, not
+    as divergence, un-pinnable dirs, or a zero-path compaction."""
+    from logfowd2_spark.streaming.maintenance import (
+        compact_table,
+        create_tag,
+    )
+
+    paths = synth.write_dataset(str(tmp_path / "in"), n_rows=200,
+                                seed=71, n_files=3)
+    cfg = PipelineConfig(
+        input_path=paths["sequences"],
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        max_line_size=256,
+        vacuum_retention_s=3600.0,
+        auto_compact_min_batches=2,  # would fire on 3 ids if they count
+    )
+    cfg.read_existing_on_startup = False
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    ids = committed_batch_ids(cfg)
+    assert len(ids) == 3
+
+    # auto-compact must not have staged a zero-path rewrite
+    assert compact_table(spark, cfg)["consolidated_ids"] == []
+    # tags skip the dir-less ids instead of refusing
+    assert create_tag(cfg, "wm")["dirs"] == {}
+    # CDC polls: zero-row inserts now, and the NEXT poll must not
+    # CursorDiverge on the tracked-but-dir-less ids
+    got = poll_changes(spark, cfg, "wm-cdc")
+    assert got.batch_ids == ids
+    commit_cursor(cfg, "wm-cdc", got.cursor)
+    again = poll_changes(spark, cfg, "wm-cdc")
+    assert again.df is None and again.batch_ids == []
+
+
 def test_group_name_path_escape_rejected(spark, table):
     cfg = table
     for bad in ("..", ".", "a/b", "a\\b" * 40, "_CURSOR", ".hidden", ""):
