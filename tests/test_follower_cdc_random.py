@@ -98,6 +98,18 @@ def test_cdc_random_lifecycle(spark, tmp_path, seed):
             rows, "doc_id string, sink_id string, log_date date, n_tok int")
 
     do_poll()  # initial inserts
+    # a tag taken here must stay byte-frozen through every op below
+    from logfowd2_spark.streaming.maintenance import create_tag, read_tagged
+
+    create_tag(cfg, f"t{seed}")
+    cols = sorted(read_routed(spark, cfg).columns)
+
+    def frozen(df):
+        pdf = df.toPandas()
+        return (pdf[cols].astype(str).sort_values(cols)
+                .reset_index(drop=True))
+
+    at_tag = frozen(read_routed(spark, cfg))
     for step in range(10):
         op = rng.choice(OPS)
         if op in ("cow", "defer"):
@@ -120,3 +132,7 @@ def test_cdc_random_lifecycle(spark, tmp_path, seed):
         else:
             do_poll()
     do_poll()  # final convergence check
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        frozen(read_tagged(spark, cfg, f"t{seed}")), at_tag)
