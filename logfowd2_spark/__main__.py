@@ -110,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
                          "ordinary retired state for the next sweep")
     ap.add_argument("--tags", action="store_true",
                     help="print all tags as JSON — metadata-only")
+    ap.add_argument("--drop-column", metavar="COL",
+                    help="logical drop-column schema evolution: every "
+                         "table-surface scan projects COL out (pure "
+                         "metadata, reversible with --undrop-column; "
+                         "history/tag reads keep showing it)")
+    ap.add_argument("--undrop-column", metavar="COL",
+                    help="reverse a logical --drop-column")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -136,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
                             args.vacuum_expired, args.snapshot_log,
                             args.rollback, args.deliver,
                             args.consumer_lag, args.tag, args.drop_tag,
-                            args.tags))
+                            args.tags, args.drop_column,
+                            args.undrop_column))
     if ingest:
         if not (args.pods and args.routes):
             ap.error("--pods and --routes must be given together")
@@ -170,7 +178,8 @@ def main(argv: list[str] | None = None) -> int:
     # pure-metadata ops (lag gauge, tag create/list/drop) skip the JVM
     # entirely when nothing else was asked for
     metadata_only = (args.consumer_lag or args.tag or args.drop_tag
-                     or args.tags) and not ingest and not any(
+                     or args.tags or args.drop_column
+                     or args.undrop_column) and not ingest and not any(
         (args.compact_table, args.delete_where, args.merge_from,
          args.materialize_deletes, args.vacuum_expired, args.snapshot_log,
          args.rollback, args.deliver, args.redrive > 0))
@@ -193,6 +202,20 @@ def main(argv: list[str] | None = None) -> int:
             from logfowd2_spark.streaming.maintenance import list_tags
 
             print(json.dumps({"tags": list_tags(cfg)}))
+        if args.drop_column:
+            from logfowd2_spark.streaming.maintenance import drop_column
+
+            try:
+                print(json.dumps(
+                    {"drop_column": drop_column(cfg, args.drop_column)}))
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+        if args.undrop_column:
+            from logfowd2_spark.streaming.maintenance import undrop_column
+
+            print(json.dumps({"undrop_column":
+                              undrop_column(cfg, args.undrop_column)}))
         if args.consumer_lag:
             from logfowd2_spark.streaming.follower import group_lag
 
@@ -303,6 +326,20 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(
                 {"vacuum_expired": vacuum_expired_table(cfg)}))
+        if args.drop_column:
+            from logfowd2_spark.streaming.maintenance import drop_column
+
+            try:
+                print(json.dumps(
+                    {"drop_column": drop_column(cfg, args.drop_column)}))
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+        if args.undrop_column:
+            from logfowd2_spark.streaming.maintenance import undrop_column
+
+            print(json.dumps({"undrop_column":
+                              undrop_column(cfg, args.undrop_column)}))
         if args.drop_tag:
             from logfowd2_spark.streaming.maintenance import drop_tag
 

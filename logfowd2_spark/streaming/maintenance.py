@@ -61,6 +61,23 @@ _PARTITION_FIELDS = (("batch_id", "string"), ("sink_id", "string"),
 
 def table_scan(spark: SparkSession, cfg: PipelineConfig,
                ids: list[str], predicates=None) -> DataFrame:
+    """``_table_scan_resolve`` plus the table-level schema surface:
+    columns dropped by ``drop_column`` (recorded in ``_TABLE.json``)
+    are projected out of every result uniformly — logical drop-column
+    evolution without touching a single data file.  Generation-axis
+    readers (``read_batch_snapshot``, tags, changelogs) intentionally
+    bypass it: history keeps showing what was committed."""
+    from logfowd2_spark.streaming.commit import read_table_manifest  # noqa: PLC0415
+
+    df = _table_scan_resolve(spark, cfg, ids, predicates=predicates)
+    tman = read_table_manifest(os.path.join(cfg.output_path, "routed"))
+    dropped = [c for c in (tman or {}).get("dropped_columns", [])
+               if c in df.columns]
+    return df.drop(*dropped) if dropped else df
+
+
+def _table_scan_resolve(spark: SparkSession, cfg: PipelineConfig,
+                        ids: list[str], predicates=None) -> DataFrame:
     """Scan exactly the batches in ``ids``, resolving each through the
     table's metadata layers: ids consolidated by ``compact_table`` come
     from the ``_consolidated`` generation (batch_id preserved as a DATA
@@ -881,6 +898,7 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
                       expected_generation=(cons_man["generation"]
                                            if cons_man else None))
         write_table_manifest(committer, root, {
+            **tman,  # unknown table-level keys (dropped_columns) ride
             "version": 1,
             "consolidated_ids": tman["consolidated_ids"] + [merge_id],
             "pending": tman.get("pending", []),
@@ -975,6 +993,60 @@ def recover_compactions(cfg: PipelineConfig) -> list[str]:
             save_manifest(log, manifest_path)
             healed = healed + [f"batch_log:{b}" for b in missing]
     return healed
+
+
+def drop_column(cfg: PipelineConfig, column: str) -> dict:
+    """LOGICAL drop-column schema evolution — the sibling of the
+    add-column half (``merge_schemas``): the name is recorded in
+    ``_TABLE.json``'s ``dropped_columns`` and every table-surface scan
+    (``table_scan`` → ``read_routed``/``scan_routed``/as-of/between/
+    followers) projects it out, uniformly across old and future
+    batches, without touching a single data file — Iceberg's
+    ``ALTER TABLE DROP COLUMN`` as pure metadata.  Reversible
+    (``undrop_column``: the values were never destroyed — physical
+    removal happens as compactions naturally rewrite files under the
+    surfaced schema's successor, or by an explicit rewrite).
+    Generation-axis readers (snapshot/tag/changelog) keep showing the
+    column: history is what was committed.  Partition and lineage
+    columns are refused."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, read_table_manifest, write_table_manifest,
+    )
+
+    protected = {name for name, _ in _PARTITION_FIELDS} | {"doc_id"}
+    if column in protected:
+        raise ValueError(
+            f"column {column!r} is a partition/lineage column and "
+            f"cannot be dropped")
+    root = os.path.join(cfg.output_path, "routed")
+    os.makedirs(root, exist_ok=True)
+    tman = read_table_manifest(root) or {
+        "version": 1, "consolidated_ids": [], "pending": [],
+    }
+    dropped = sorted(set(tman.get("dropped_columns", [])) | {column})
+    write_table_manifest(get_committer(cfg.commit_protocol), root,
+                         {**tman, "dropped_columns": dropped})
+    return {"column": column, "dropped_columns": dropped}
+
+
+def undrop_column(cfg: PipelineConfig, column: str) -> dict:
+    """Reverse a logical ``drop_column`` (metadata-only; the values
+    were never destroyed)."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, read_table_manifest, write_table_manifest,
+    )
+
+    root = os.path.join(cfg.output_path, "routed")
+    tman = read_table_manifest(root)
+    dropped = set((tman or {}).get("dropped_columns", []))
+    existed = column in dropped
+    if existed:
+        dropped.discard(column)
+        write_table_manifest(
+            get_committer(cfg.commit_protocol), root,
+            {**tman, "dropped_columns": sorted(dropped)})
+    return {"column": column, "existed": existed,
+            "dropped_columns": sorted(dropped)}
 
 
 TAGS_DIR = "_TAGS"
@@ -1900,6 +1972,7 @@ def _recover_table_pointer(cfg: PipelineConfig, committer, root: str,
     if orphans:
         now = _time.time()
         tman = {
+            **tman,  # unknown table-level keys (dropped_columns) ride
             "version": 1,
             "consolidated_ids": tman["consolidated_ids"] + orphans,
             "pending": tman.get("pending", [])
@@ -2112,6 +2185,7 @@ def compact_table(spark: SparkSession, cfg: PipelineConfig,
                                        if man_c else None))
     now = _time.time()
     write_table_manifest(committer, root, {
+        **tman,  # unknown table-level keys (dropped_columns) ride
         "version": 1,
         "consolidated_ids": tman["consolidated_ids"] + new_ids,
         "pending": tman.get("pending", [])
