@@ -117,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
                          "history/tag reads keep showing it)")
     ap.add_argument("--undrop-column", metavar="COL",
                     help="reverse a logical --drop-column")
+    ap.add_argument("--rename-column", metavar="OLD:NEW",
+                    help="logical rename-column evolution: readers see "
+                         "NEW, writers keep writing OLD (pure metadata; "
+                         "rename back to undo)")
     ap.add_argument("--vacuum-expired", action="store_true",
                     help="run the snapshot-expiry sweep: reap retired "
                          "generations and consolidation-superseded "
@@ -144,7 +148,7 @@ def main(argv: list[str] | None = None) -> int:
                             args.rollback, args.deliver,
                             args.consumer_lag, args.tag, args.drop_tag,
                             args.tags, args.drop_column,
-                            args.undrop_column))
+                            args.undrop_column, args.rename_column))
     if ingest:
         if not (args.pods and args.routes):
             ap.error("--pods and --routes must be given together")
@@ -179,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
     # entirely when nothing else was asked for
     metadata_only = (args.consumer_lag or args.tag or args.drop_tag
                      or args.tags or args.drop_column
-                     or args.undrop_column) and not ingest and not any(
+                     or args.undrop_column
+                     or args.rename_column) and not ingest and not any(
         (args.compact_table, args.delete_where, args.merge_from,
          args.materialize_deletes, args.vacuum_expired, args.snapshot_log,
          args.rollback, args.deliver, args.redrive > 0))
@@ -216,6 +221,20 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps({"undrop_column":
                               undrop_column(cfg, args.undrop_column)}))
+        if args.rename_column:
+            from logfowd2_spark.streaming.maintenance import rename_column
+
+            old, _, new = args.rename_column.partition(":")
+            if not old or not new:
+                print("error: --rename-column wants OLD:NEW",
+                      file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(
+                    {"rename_column": rename_column(cfg, old, new)}))
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         if args.consumer_lag:
             from logfowd2_spark.streaming.follower import group_lag
 

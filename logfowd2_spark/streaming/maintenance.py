@@ -73,7 +73,13 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     tman = read_table_manifest(os.path.join(cfg.output_path, "routed"))
     dropped = [c for c in (tman or {}).get("dropped_columns", [])
                if c in df.columns]
-    return df.drop(*dropped) if dropped else df
+    if dropped:
+        df = df.drop(*dropped)
+    for phys, surfaced in ((tman or {}).get("renamed_columns")
+                           or {}).items():
+        if phys in df.columns:
+            df = df.withColumnRenamed(phys, surfaced)
+    return df
 
 
 def _table_scan_resolve(spark: SparkSession, cfg: PipelineConfig,
@@ -1023,10 +1029,86 @@ def drop_column(cfg: PipelineConfig, column: str) -> dict:
     tman = read_table_manifest(root) or {
         "version": 1, "consolidated_ids": [], "pending": [],
     }
-    dropped = sorted(set(tman.get("dropped_columns", [])) | {column})
+    # a surfaced (renamed) name resolves to its physical column
+    renames = tman.get("renamed_columns", {})
+    physical = next((p for p, s in renames.items() if s == column),
+                    column)
+    dropped = sorted(set(tman.get("dropped_columns", [])) | {physical})
     write_table_manifest(get_committer(cfg.commit_protocol), root,
                          {**tman, "dropped_columns": dropped})
     return {"column": column, "dropped_columns": dropped}
+
+
+def _surfaced_columns(cfg: PipelineConfig) -> set:
+    """Best-effort set of the table's surfaced column names, from
+    metadata alone (member manifest schemas + partition fields, with
+    table-level drops/renames applied) — used to refuse rename
+    collisions without a scan."""
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        CONSOLIDATED_DIR, manifest_schema, read_file_manifest,
+        read_table_manifest,
+    )
+
+    root = os.path.join(cfg.output_path, "routed")
+    names: set = {n for n, _ in _PARTITION_FIELDS}
+    if not os.path.isdir(root):
+        return names
+    dirs = [n for n in sorted(os.listdir(root))
+            if n.startswith("batch_id=")] + [CONSOLIDATED_DIR]
+    for d in dirs:
+        man = read_file_manifest(os.path.join(root, d))
+        s = manifest_schema(man) if man else None
+        if s is not None:
+            names |= {f.name for f in s.fields}
+    tman = read_table_manifest(root) or {}
+    names -= set(tman.get("dropped_columns", []))
+    renames = tman.get("renamed_columns", {})
+    names = {renames.get(n, n) for n in names}
+    return names
+
+
+def rename_column(cfg: PipelineConfig, column: str,
+                  new_name: str) -> dict:
+    """LOGICAL rename-column evolution (metadata-only, reversible by
+    renaming back): ``_TABLE.json`` maps the physical name to the
+    surfaced one and every table-surface scan applies it after the
+    drop projection — writers keep writing the physical name, readers
+    see the new one, no data file changes.  ``column`` is the CURRENT
+    surfaced name.  Collisions with existing surfaced columns and
+    partition/lineage names are refused.  Generation-axis readers
+    (snapshots, tags, changelogs) keep committed history's names."""
+    import re  # noqa: PLC0415
+
+    from logfowd2_spark.streaming.commit import (  # noqa: PLC0415
+        get_committer, read_table_manifest, write_table_manifest,
+    )
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]{0,63}", new_name or ""):
+        raise ValueError(f"invalid column name {new_name!r}")
+    protected = {name for name, _ in _PARTITION_FIELDS} | {"doc_id"}
+    if column in protected or new_name in protected:
+        raise ValueError(
+            "partition/lineage columns cannot be renamed (or shadowed)")
+    if new_name != column and new_name in _surfaced_columns(cfg):
+        raise ValueError(
+            f"column {new_name!r} already exists at the table surface")
+    root = os.path.join(cfg.output_path, "routed")
+    os.makedirs(root, exist_ok=True)
+    tman = read_table_manifest(root) or {
+        "version": 1, "consolidated_ids": [], "pending": [],
+    }
+    renames = dict(tman.get("renamed_columns", {}))
+    # resolve the surfaced name back to its physical column
+    physical = next((p for p, s in renames.items() if s == column),
+                    column)
+    if new_name == physical:
+        renames.pop(physical, None)  # renamed back: drop the mapping
+    else:
+        renames[physical] = new_name
+    write_table_manifest(get_committer(cfg.commit_protocol), root,
+                         {**tman, "renamed_columns": renames})
+    return {"column": column, "new_name": new_name,
+            "renamed_columns": renames}
 
 
 def undrop_column(cfg: PipelineConfig, column: str) -> dict:

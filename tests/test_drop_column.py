@@ -84,3 +84,49 @@ def test_drop_column_history_and_guards(spark, table):
             drop_column(cfg, col)
     # undropping a never-dropped column is a no-op report
     assert undrop_column(cfg, "node")["existed"] is False
+
+
+def test_rename_column_surface(spark, table):
+    from logfowd2_spark.streaming.maintenance import rename_column
+
+    cfg, paths = table
+    before = read_routed(spark, cfg).select("doc_id", "node").toPandas()
+    res = rename_column(cfg, "node", "host")
+    assert res["renamed_columns"] == {"node": "host"}
+    df = read_routed(spark, cfg)
+    assert "host" in df.columns and "node" not in df.columns
+    got = df.select("doc_id", "host").toPandas()
+    key = before.sort_values("doc_id").reset_index(drop=True)
+    assert (got.sort_values("doc_id").reset_index(drop=True)["host"]
+            == key["node"]).all()
+
+    # new batches written after the rename surface under the new name
+    run_pipeline(spark, cfg, paths["pods"], paths["routes"],
+                 files_per_batch=1)
+    df = read_routed(spark, cfg)
+    assert "host" in df.columns and "node" not in df.columns
+    assert df.filter(df["host"].isNull()).count() == 0
+
+    # drop by the SURFACED name resolves to the physical column
+    drop_column(cfg, "host")
+    assert "host" not in read_routed(spark, cfg).columns
+    undrop_column(cfg, "node")
+
+    # rename back = undo (mapping removed)
+    res = rename_column(cfg, "host", "node")
+    assert res["renamed_columns"] == {}
+    assert "node" in read_routed(spark, cfg).columns
+
+
+def test_rename_column_guards(spark, table):
+    from logfowd2_spark.streaming.maintenance import rename_column
+
+    cfg, _ = table
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(cfg, "node", "namespace")
+    with pytest.raises(ValueError, match="cannot be renamed"):
+        rename_column(cfg, "sink_id", "sink")
+    with pytest.raises(ValueError, match="cannot be renamed"):
+        rename_column(cfg, "node", "batch_id")
+    with pytest.raises(ValueError, match="invalid column name"):
+        rename_column(cfg, "node", "bad name")
