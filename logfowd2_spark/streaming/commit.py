@@ -1286,8 +1286,20 @@ def _file_stats_one(full: str, detail_cols: tuple) -> dict:
 
 
 #: commits below this file count stay on the driver — a task-scheduling
-#: round trip costs more than reading a handful of local footers
-DISTRIBUTED_STATS_MIN_FILES = 64
+#: round trip costs more than reading the footers locally.  Measured on
+#: this host (round 6): a 135-file commit with membership cols is 0.49 s
+#: serial / ~0.15 s with the thread pool on the driver, while the RDD
+#: path's Python-job overhead alone is ~4 s — so the break-even is in
+#: the thousands of files, not 64.  On an object store the per-file
+#: latency is larger but the thread pool hides it the same way; the
+#: distributed path exists for the 10⁵-10⁶-file consolidation case.
+DISTRIBUTED_STATS_MIN_FILES = int(
+    os.environ.get("SPARK_GRAFT_DIST_STATS_MIN_FILES", "4096")
+)
+
+#: driver-side stats thread pool width: footer/membership reads are
+#: I/O-bound and pyarrow releases the GIL, so threads overlap well
+_STATS_THREADS = 16
 
 
 def collect_file_stats(root: str, files: list[str],
@@ -1337,6 +1349,15 @@ def collect_file_stats(root: str, files: list[str],
         )
         by_full = dict(pairs)
         return {rel: by_full[os.path.join(root, rel)] for rel in files}
+    if len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        with ThreadPoolExecutor(min(_STATS_THREADS, len(files))) as pool:
+            ents = pool.map(
+                lambda rel: _file_stats_one(os.path.join(root, rel), dcols),
+                files,
+            )
+            return dict(zip(files, ents))
     return {rel: _file_stats_one(os.path.join(root, rel), dcols)
             for rel in files}
 

@@ -295,16 +295,22 @@ def test_membership_excludes_semantics():
     assert not _membership_excludes(iset, "==", "3")
 
 
-def test_collect_file_stats_distributed_equals_driver(spark, tmp_path):
+def test_collect_file_stats_distributed_equals_driver(spark, tmp_path,
+                                                      monkeypatch):
     """Above DISTRIBUTED_STATS_MIN_FILES the commit-time stats pass runs
-    on the executors; its output is bit-identical to the driver loop
-    (same dict, same encoded bounds, same membership entries)."""
+    on the executors; its output is bit-identical to the driver's
+    threaded loop (same dict, same encoded bounds, same membership
+    entries).  The threshold is monkeypatched down: the shipped default
+    is in the thousands (round 6 — the RDD job's fixed overhead was
+    measured at ~4 s vs 0.5 s for the driver loop at 135 files), and the
+    equality property is file-count-independent."""
     import pyarrow as pa
 
-    from logfowd2_spark.streaming.commit import DISTRIBUTED_STATS_MIN_FILES
+    from logfowd2_spark.streaming import commit as commit_mod
 
+    monkeypatch.setattr(commit_mod, "DISTRIBUTED_STATS_MIN_FILES", 16)
     files = []
-    for i in range(DISTRIBUTED_STATS_MIN_FILES):
+    for i in range(16):
         t = pa.table({
             "pod": [f"p{i}-{j % 5}" for j in range(20)],
             "n": list(range(i, i + 20)),
@@ -312,14 +318,18 @@ def test_collect_file_stats_distributed_equals_driver(spark, tmp_path):
         rel = f"part-{i:03d}.parquet"
         pq.write_table(t, str(tmp_path / rel))
         files.append(rel)
+    # driver path (spark=None) — threaded pool
     driver = collect_file_stats(str(tmp_path), files, detail_cols=("pod",))
-    dist = collect_file_stats(str(tmp_path), files, detail_cols=("pod",),
-                              spark=spark)
+    # single-file path (serial)
+    one = collect_file_stats(str(tmp_path), files[:1], detail_cols=("pod",))
+    assert one == {files[0]: driver[files[0]]}
+    dist = commit_mod.collect_file_stats(str(tmp_path), files,
+                                         detail_cols=("pod",), spark=spark)
     assert dist == driver
     assert list(dist) == files  # caller's file order preserved
     # below the threshold the spark= kwarg stays on the driver path
-    small = collect_file_stats(str(tmp_path), files[:2],
-                               detail_cols=("pod",), spark=spark)
+    small = commit_mod.collect_file_stats(str(tmp_path), files[:2],
+                                          detail_cols=("pod",), spark=spark)
     assert small == {r: driver[r] for r in files[:2]}
 
 
