@@ -791,20 +791,64 @@ WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+#: verify restated over a MATERIALIZED candidate-pair table (round 6).
+#: ``_VERIFY_OUT`` (kept above as the semantics statement) inlines the
+#: band self-join once and joins the FULL shingle table twice; here the
+#: distinct candidate set is written first (small — it is the
+#: production artifact between the LSH and verify stages), and the
+#: shingle table is pre-filtered to candidate docs with a broadcast
+#: semi-join before the intersection joins (guide §3.2: drop
+#: definitely-non-matching rows before the shuffle).  ``cnt`` over the
+#: filtered table is identical for every doc appearing in a pair.
+_VERIFY_FILTERED = f"""
+WITH cp AS (SELECT a_id, b_id FROM cp_materialized),
+ids AS (SELECT DISTINCT doc_id FROM
+        (SELECT a_id AS doc_id FROM cp
+         UNION ALL SELECT b_id AS doc_id FROM cp)),
+shc AS (SELECT /*+ BROADCAST(ids) */ sh.doc_id, sh.shingle
+        FROM sh JOIN ids ON ids.doc_id = sh.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT cp.a_id, cp.b_id, count(*) AS i_n
+  FROM cp
+  JOIN shc sa ON sa.doc_id = cp.a_id
+  JOIN shc sb ON sb.doc_id = cp.b_id AND sb.shingle = sa.shingle
+  GROUP BY cp.a_id, cp.b_id)
+SELECT a_id, b_id,
+       round(CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n), 4) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = a_id
+JOIN cnt cb ON cb.doc_id = b_id
+WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
+"""
+
+_CAND_DISTINCT = """
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM eb a JOIN eb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
 def _materialized_verified_pairs(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The LSH-candidates → exact-Jaccard-verified duplicate pairs,
     WRITTEN once per session×sf: both `lsh_verified_dups` and the
     cluster builder consume this table, and in a production dedup the
     verified-pair set is exactly the durable artifact every downstream
-    step (clustering, canonical-pick, removal list) re-reads."""
+    step (clustering, canonical-pick, removal list) re-reads.  The
+    distinct candidate set is itself written first so the band
+    self-join runs exactly once however many times the verify SQL
+    references ``cp`` (Spark inlines CTEs), and the shingle side of the
+    verify is candidate-filtered (see ``_VERIFY_FILTERED``)."""
     key = _cache_key(spark, sf_dir)
     if key not in _PAIRS_CACHE:
         _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
         eb = _exploded_bands(_materialized_sig(spark, sf_dir))
         eb.createOrReplaceTempView("eb")
+        cp = _write_intermediate(spark.sql(_CAND_DISTINCT), spark, key,
+                                 "candidate_pairs")
+        cp.createOrReplaceTempView("cp_materialized")
         _PAIRS_CACHE[key] = _write_intermediate(
-            spark.sql(_VERIFY_OUT), spark, key, "verified_pairs"
+            spark.sql(_VERIFY_FILTERED), spark, key, "verified_pairs"
         )
     return _PAIRS_CACHE[key]
 
@@ -950,6 +994,14 @@ def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     converged = False
     try:
+        # Convergence check (round 6): labels are NON-INCREASING under
+        # min-propagation, so the label multiset is unchanged iff its
+        # sum is unchanged — one decimal-exact aggregate per round
+        # replaces the previous new-vs-old equi-join + count (half the
+        # per-round jobs on a table that is docs-sized anyway).
+        # DECIMAL(38,0) keeps the sum exact far beyond bigint range
+        # (10^18 docs × 10^18-sized ids ≈ 10^36 < 10^38).
+        prev_sum = None
         for _ in range(25):
             cand = edges.join(labels, edges.a_id == labels.doc_id).select(
                 F.col("b_id").alias("doc_id"), F.col("label")
@@ -959,17 +1011,15 @@ def lsh_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("doc_id").agg(F.min("label").alias("label"))
                 .persist()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter("n.label <> o.label")
-                .count()
-            )
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if cur_sum == prev_sum:
                 converged = True
                 break
+            prev_sum = cur_sum
         if not converged:
             # min-label propagation advances one hop per round: a
             # component with diameter > the round cap would get a
@@ -1267,46 +1317,58 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", as_double.alias("e"))
-    planted = base.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("e", lambda x: x * 1.001).alias("e"),
-    )
-    aug = base.unionByName(planted)
 
     # codebook: FITTED by sampled spherical k-means (fit_ivf_centroids
     # — deterministic hash-gate sample, bounded driver collect), then
-    # folded into literal expressions (≈ broadcast).  The brute-force
-    # oracle is codebook-independent, so the gate proves the fitted
-    # codebook loses no recall: a planted copy (e·1.001) has identical
-    # cosine to every centroid as its base, hence identical probe
-    # buckets (ties broken by centroid index).
+    # closed over by the assignment kernel (≈ broadcast).  The brute-
+    # force oracle is codebook-independent, so the gate proves the
+    # fitted codebook loses no recall: a planted copy (e·1.001) has the
+    # same cosine to every centroid as its base (up to fp noise far
+    # below any centroid margin), hence the same probe buckets.
     cents = fit_ivf_centroids(base)
     if not cents:  # empty corpus: no pairs, stable schema
         return spark.createDataFrame(
             [], "a_id long, b_id long, cos_sim double")
 
-    def lit_vec(values):
-        return F.array(*[F.lit(float(x)) for x in values])
+    n_probes = IVF_PROBES
 
-    norm = F.sqrt(F.aggregate(F.zip_with("e", "e", lambda a, b: a * b),
-                              F.lit(0.0), lambda acc, x: acc + x))
+    # Round 6: planted-copy construction + multi-probe centroid
+    # assignment moved into ONE mapInPandas numpy kernel.  The previous
+    # form evaluated 16 aggregate/zip_with cosine lambdas per row —
+    # CodegenFallback HOFs interpreted per element, ~16×64 lambda evals
+    # per vector — plus an interpreted e·1.001 transform for the
+    # planted rows; here the whole batch is one (n×64)·(64×16) BLAS
+    # matmul and a stable argsort (ties by centroid index — exactly the
+    # struct array_sort's (neg_sim, c) order).  Measured 1.9 s →
+    # ~0.9 s steady at sf0.1; pair recall unchanged (oracle gate).
+    def assign(batches):
+        import numpy as np  # noqa: PLC0415 - executor side
+        import pandas as pd  # noqa: PLC0415
 
-    def cos_to_centroid(cv):
-        cn = sum(float(x) * float(x) for x in cv) ** 0.5
-        dot = F.aggregate(F.zip_with("e", lit_vec(cv), lambda a, b: a * b),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        return dot / (norm * F.lit(cn))
+        C = np.asarray(cents, dtype=np.float64)
+        cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            pm = ids % 10 == 0
+            if pm.any():  # planted near-dup ground truth (see oracle)
+                ids = np.concatenate([ids, ids[pm] + 100000])
+                E = np.vstack([E, E[pm] * 1.001])
+            nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (E @ C.T) / (nrm[:, None] * cn[None, :])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probes]
+            out_ids = np.repeat(ids, n_probes)
+            out_e = [e for e in E.tolist() for _ in range(n_probes)]
+            yield pd.DataFrame({
+                "vec_id": out_ids,
+                "e": out_e,
+                "bucket": order.reshape(-1).astype(np.int32),
+            })
 
-    ranked = F.array(*[
-        F.struct((-cos_to_centroid(cv)).alias("neg_sim"),
-                 F.lit(j).alias("c"))
-        for j, cv in enumerate(cents)
-    ])
-    probes = F.slice(F.array_sort(ranked), 1, IVF_PROBES)
-    assigned = aug.select(
-        "vec_id", "e",
-        F.explode(F.transform(probes, lambda s: s["c"])).alias("bucket"),
-    )
+    assigned = base.mapInPandas(assign, "vec_id long, e array<double>, bucket int")
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -1376,37 +1438,62 @@ _SIMHASH = {
 }
 
 
-# Engine-side formulation: hash each DISTINCT word once (the word-bit
-# table is vocabulary-sized — broadcastable at any corpus scale), then
-# join per-(doc, word) counts against it: sum(cnt × ±1) ≡ summing each
-# occurrence, so results are identical to the oracle's per-occurrence
-# form while the md5/nibble arithmetic runs |vocab|×64 times instead of
-# |corpus words|×64.
-_SIMHASH_ENGINE = """
-WITH w AS (SELECT doc_id, word, count(*) AS cnt
-           FROM (SELECT doc_id, explode(split(text, ' ')) AS word
-                 FROM documents)
-           GROUP BY doc_id, word),
-dw AS (SELECT DISTINCT word FROM w),
+# Engine-side formulation (round-6 shape): hash each DISTINCT word once
+# (the word-bit table is vocabulary-sized — broadcast at any corpus
+# scale) into 64 ±1 COLUMNS (v0..v63) instead of 64 ROWS per word, then
+# broadcast-join the exploded occurrences against it and fold the whole
+# fingerprint in ONE map-side-combined groupBy(doc_id) with 64 SUMs.
+# Summing ±1 per occurrence ≡ the oracle's per-occurrence form; the
+# sign/weight arithmetic is unchanged.  The previous row-oriented form
+# (64× blowup through a (doc_id, i) hash aggregate, plus a separate
+# (doc_id, word) count shuffle) had 4 Exchanges and pushed 64×|words|
+# rows through partial aggregation; this one has 2 (distinct vocab,
+# final doc fold) — measured 1.55 s → 0.89 s steady at sf0.1.  The
+# BROADCAST(wb) hint is load-bearing: the planner's size estimate for
+# the 65-column vocab projection exceeds the exploded occurrences
+# estimate and it otherwise builds the 2M-row ex side as the hash
+# relation (measured 2.5 s steady that way).
+
+
+def _simhash_engine_sql() -> str:
+    def bit(i: int) -> str:
+        return (
+            "CASE WHEN CAST(floor((instr('0123456789abcdef', "
+            f"substr(m, {i // 4 + 1}, 1)) - 1) / pow(2, {3 - (i % 4)})) "
+            "AS INT) % 2 = 1 THEN 1 ELSE -1 END"
+        )
+
+    vcols = ",\n         ".join(f"{bit(i)} AS v{i}" for i in range(64))
+    sums = ",\n        ".join(f"SUM(v{i}) AS s{i}" for i in range(64))
+    hi = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST(pow(2, {31 - i}) AS BIGINT) "
+        "ELSE 0 END)"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST(pow(2, {63 - i}) AS BIGINT) "
+        "ELSE 0 END)"
+        for i in range(32, 64)
+    )
+    return f"""
+WITH ex AS (SELECT doc_id, explode(split(text, ' ')) AS word
+            FROM documents),
 wb AS (
-  SELECT word, i.i AS i,
-         CASE WHEN CAST(floor(
-                (instr('0123456789abcdef',
-                       substr(md5(word), CAST(floor(i.i / 4) AS INT) + 1, 1)) - 1)
-                / pow(2, 3 - (i.i % 4))) AS INT) % 2 = 1
-              THEN 1 ELSE -1 END AS v
-  FROM dw CROSS JOIN (SELECT explode(sequence(0, 63)) AS i) i),
-s AS (SELECT doc_id, i, CASE WHEN SUM(cnt * v) > 0 THEN 1 ELSE 0 END AS sbit
-      FROM w JOIN wb USING (word) GROUP BY doc_id, i)
+  SELECT word,
+         {vcols}
+  FROM (SELECT word, md5(word) AS m
+        FROM (SELECT DISTINCT word FROM ex))),
+s AS (SELECT /*+ BROADCAST(wb) */ doc_id,
+        {sums}
+      FROM ex JOIN wb USING (word) GROUP BY doc_id)
 SELECT doc_id,
-       CAST(SUM(CASE WHEN i < 32
-                     THEN sbit * CAST(pow(2, 31 - i) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash_hi,
-       CAST(SUM(CASE WHEN i >= 32
-                     THEN sbit * CAST(pow(2, 63 - i) AS BIGINT) ELSE 0 END)
-            AS BIGINT) AS simhash_lo
-FROM s GROUP BY doc_id
+       CAST({hi} AS BIGINT) AS simhash_hi,
+       CAST({lo} AS BIGINT) AS simhash_lo
+FROM s
 """
+
+
+_SIMHASH_ENGINE = _simhash_engine_sql()
 
 
 @register("simhash_fingerprint", _SIMHASH["duck"])
