@@ -30,7 +30,12 @@ def enrich_stage(df: DataFrame, pods: DataFrame) -> DataFrame:
     out = df.join(
         F.broadcast(dim), df["pod_id"] == dim["_dim_pod_id"], "left"
     )
-    out = out.withColumn("dim_hit", F.col("_dim_pod_id").isNotNull())
-    for a in DIM_ATTRS:
-        out = out.withColumn(a, F.coalesce(F.col(f"_dim_{a}"), F.lit("unknown")))
+    # one batched projection (withColumns) instead of a withColumn chain:
+    # every withColumn call re-analyzes the whole plan driver-side, which
+    # is per-batch overhead in the micro-batch loop
+    out = out.withColumns(
+        {"dim_hit": F.col("_dim_pod_id").isNotNull(),
+         **{a: F.coalesce(F.col(f"_dim_{a}"), F.lit("unknown"))
+            for a in DIM_ATTRS}}
+    )
     return out.drop("_dim_pod_id", *[f"_dim_{a}" for a in DIM_ATTRS])

@@ -115,8 +115,6 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
         "line",
         truncate_line(F.col("line"), cfg.max_line_size, cfg.truncation_suffix),
     )
-    df = df.withColumn("byte_len", byte_len)
-
     # Single-pass field extraction: the grammar is space-delimited
     # (<ts> <level> <path> <body>), so one split(limit=4) replaces eight
     # full-line regex matches.  The path is validated with ONE anchored
@@ -126,7 +124,9 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
     # matches (asserted against the regex-based pandas oracle in tests).
     # try_element_at throughout: under ANSI (Spark 4 default) a plain
     # element_at on a short split (e.g. an empty line) would throw.
-    df = df.withColumn("_parts", F.split("line", " ", 4))
+    # batched with byte_len: one analysis pass instead of two
+    df = df.withColumns({"byte_len": byte_len,
+                         "_parts": F.split("line", " ", 4)})
     ts_raw = F.try_element_at("_parts", F.lit(1))
     level = F.try_element_at("_parts", F.lit(2))
     path = F.try_element_at("_parts", F.lit(3))

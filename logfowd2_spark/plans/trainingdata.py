@@ -791,64 +791,31 @@ WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-#: verify restated over a MATERIALIZED candidate-pair table (round 6).
-#: ``_VERIFY_OUT`` (kept above as the semantics statement) inlines the
-#: band self-join once and joins the FULL shingle table twice; here the
-#: distinct candidate set is written first (small — it is the
-#: production artifact between the LSH and verify stages), and the
-#: shingle table is pre-filtered to candidate docs with a broadcast
-#: semi-join before the intersection joins (guide §3.2: drop
-#: definitely-non-matching rows before the shuffle).  ``cnt`` over the
-#: filtered table is identical for every doc appearing in a pair.
-_VERIFY_FILTERED = f"""
-WITH cp AS (SELECT a_id, b_id FROM cp_materialized),
-ids AS (SELECT DISTINCT doc_id FROM
-        (SELECT a_id AS doc_id FROM cp
-         UNION ALL SELECT b_id AS doc_id FROM cp)),
-shc AS (SELECT /*+ BROADCAST(ids) */ sh.doc_id, sh.shingle
-        FROM sh JOIN ids ON ids.doc_id = sh.doc_id),
-cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-inter AS (
-  SELECT cp.a_id, cp.b_id, count(*) AS i_n
-  FROM cp
-  JOIN shc sa ON sa.doc_id = cp.a_id
-  JOIN shc sb ON sb.doc_id = cp.b_id AND sb.shingle = sa.shingle
-  GROUP BY cp.a_id, cp.b_id)
-SELECT a_id, b_id,
-       round(CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n), 4) AS jaccard
-FROM inter
-JOIN cnt ca ON ca.doc_id = a_id
-JOIN cnt cb ON cb.doc_id = b_id
-WHERE CAST(i_n AS DOUBLE) / (ca.n + cb.n - i_n) >= {LSH_VERIFY_THRESHOLD}
-"""
-
-_CAND_DISTINCT = """
-SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM eb a JOIN eb b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-"""
-
-
 def _materialized_verified_pairs(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The LSH-candidates → exact-Jaccard-verified duplicate pairs,
     WRITTEN once per session×sf: both `lsh_verified_dups` and the
     cluster builder consume this table, and in a production dedup the
     verified-pair set is exactly the durable artifact every downstream
-    step (clustering, canonical-pick, removal list) re-reads.  The
-    distinct candidate set is itself written first so the band
-    self-join runs exactly once however many times the verify SQL
-    references ``cp`` (Spark inlines CTEs), and the shingle side of the
-    verify is candidate-filtered (see ``_VERIFY_FILTERED``)."""
+    step (clustering, canonical-pick, removal list) re-reads.
+
+    Round-6 measurement note: a guide-§3.2 variant that materialized
+    the distinct candidate set and pre-filtered ``sh`` to candidate
+    docs with a broadcast semi-join before the intersection joins was
+    A/B'd and REJECTED at bench scale — the extra intermediate write
+    plus the thrice-inlined filter subtree cost more than the join
+    savings (same window: 1.6 s this shape, 2.1 s candidate-write +
+    filtered, 3.0 s persisted-DataFrame variant).  At a corpus where
+    the full-``sh`` shuffles dominate, the production route is the
+    incremental dedup store (streaming/dedup_store.py), which never
+    joins raw shingles at all."""
     key = _cache_key(spark, sf_dir)
     if key not in _PAIRS_CACHE:
         _materialized_shingles(spark, sf_dir).createOrReplaceTempView("sh")
         eb = _exploded_bands(_materialized_sig(spark, sf_dir))
         eb.createOrReplaceTempView("eb")
-        cp = _write_intermediate(spark.sql(_CAND_DISTINCT), spark, key,
-                                 "candidate_pairs")
-        cp.createOrReplaceTempView("cp_materialized")
         _PAIRS_CACHE[key] = _write_intermediate(
-            spark.sql(_VERIFY_FILTERED), spark, key, "verified_pairs"
+            spark.sql(_VERIFY_OUT), spark, key, "verified_pairs"
         )
     return _PAIRS_CACHE[key]
 
