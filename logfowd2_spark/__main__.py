@@ -359,6 +359,24 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps({"undrop_column":
                               undrop_column(cfg, args.undrop_column)}))
+        if args.rename_column:
+            # same OLD:NEW contract as the metadata-only path above —
+            # previously the rename was silently dropped whenever any
+            # Spark-path flag (ingest, --compact-table, --deliver, ...)
+            # routed execution through this branch
+            from logfowd2_spark.streaming.maintenance import rename_column
+
+            old, _, new = args.rename_column.partition(":")
+            if not old or not new:
+                print("error: --rename-column wants OLD:NEW",
+                      file=sys.stderr)
+                return 2
+            try:
+                print(json.dumps(
+                    {"rename_column": rename_column(cfg, old, new)}))
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
         if args.drop_tag:
             from logfowd2_spark.streaming.maintenance import drop_tag
 

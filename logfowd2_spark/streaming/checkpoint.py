@@ -14,6 +14,8 @@ to effectively-exactly-once at batch granularity.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import fcntl as _fcntl
 import hashlib
 import json
 import os
@@ -107,6 +109,31 @@ def _canonical_json(man: Manifest) -> str:
 
 def _checksum(payload: str) -> str:
     return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+@_contextlib.contextmanager
+def manifest_lock(path: str):
+    """Advisory exclusive lock serializing load→record→save cycles on a
+    checkpoint manifest across PROCESSES on the same host: merge_into's
+    insert-batch registration, recover_compactions' backfill, and the
+    streaming trigger's per-batch registration all read-modify-write
+    ``manifest.json``, and two unsynchronized cycles interleaving would
+    erase each other's just-committed BatchRecord (lost update) — rows
+    permanently invisible to every log-axis consumer.  flock on a
+    sibling ``.lock`` file (never the manifest itself: save_manifest
+    replaces it, which would drop the lock identity).  POSIX-local by
+    design, like the rename commit protocol; the single-writer batch
+    driver holds its manifest in memory across batches and is
+    documented as the sole *ingest* writer."""
+    lock_path = path + ".lock"
+    os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+    fh = open(lock_path, "a")
+    try:
+        _fcntl.flock(fh.fileno(), _fcntl.LOCK_EX)
+        yield
+    finally:
+        _fcntl.flock(fh.fileno(), _fcntl.LOCK_UN)
+        fh.close()
 
 
 def save_manifest(man: Manifest, path: str) -> None:

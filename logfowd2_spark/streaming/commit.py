@@ -641,7 +641,11 @@ def _history_entries(live: str) -> list[dict]:
     except OSError:
         return out
     for name in names:
-        if not name.endswith(".json"):
+        # skip dot-prefixed names (crash-left '.put-*'/'.claim-*' temps),
+        # mirroring list_tags: parsing debris as snapshot entries can
+        # resurrect a vacuum-pruned generation and falsely mark
+        # consolidation coverage 'exact' after expiry
+        if not name.endswith(".json") or name.startswith("."):
             continue
         try:
             with open(os.path.join(hist, name)) as fh:
@@ -1690,13 +1694,26 @@ def vacuum_expired(committer, live: str, retention_s: float,
     # archived manifests whose supersession is past the window go away,
     # keeping the log bounded at ~retention_window/commit_interval
     # entries no matter how many commits the dir has seen
-    for ent in _history_entries(live):
-        if now - ent.get("superseded_at", now) >= retention_s and \
-                ent["generation"] not in pinned:
-            try:
-                os.remove(_history_path(live, ent["generation"]))
-            except OSError:
-                pass
+    # History pruning requires a POSITIVE retention window: under
+    # retention_s == 0 the age test is trivially true for every entry,
+    # including the current generation's predecessor — whose archive
+    # doubles as the OCC claim (claim_generation) — so an immediate
+    # prune would let a stale writer re-claim an already-committed
+    # generation and clobber a metadata-only commit.  With a positive
+    # window the operator has bounded writer staleness explicitly, and
+    # entries past it expire together with their data (time travel to
+    # them raises, the tested contract).  Unstamped entries are never
+    # provably expired and always survive.
+    if retention_s > 0:
+        for ent in _history_entries(live):
+            sup = ent.get("superseded_at")
+            if sup is None:
+                continue  # no supersession stamp: not provably expired
+            if now - sup >= retention_s and ent["generation"] not in pinned:
+                try:
+                    os.remove(_history_path(live, ent["generation"]))
+                except OSError:
+                    pass
     return removed
 
 

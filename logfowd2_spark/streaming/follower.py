@@ -214,8 +214,8 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
         read_file_manifest, read_table_manifest,
     )
     from logfowd2_spark.streaming.maintenance import (  # noqa: PLC0415
-        committed_batch_ids, read_changes_between, recover_compactions,
-        table_scan,
+        apply_table_surface, committed_batch_ids, read_changes_between,
+        recover_compactions, table_scan,
     )
 
     recover_compactions(cfg)
@@ -250,7 +250,14 @@ def poll_changes(spark: SparkSession, cfg: PipelineConfig, group: str,
         if batch is not None and "batch_id" not in df.columns:
             # per-dir reads recover only the partitions BELOW the dir
             df = df.withColumn("batch_id", F.lit(batch))
-        return df.withColumn("_change_source", F.lit(source))
+        # the table-surface drop/rename projection is applied to the
+        # changelog parts too: inserts come from table_scan (surfaced
+        # names) and a physical-name changelog unioned against them
+        # would null-pad, so a CDC group's deletes would no longer
+        # cancel its inserts on evolved tables (the `_change_*` columns
+        # are untouched — they are not legal rename/drop targets)
+        return apply_table_surface(df, cfg) \
+            .withColumn("_change_source", F.lit(source))
 
     # -- 1. tracked per-batch dirs: their own changelog up to their
     #       final generation; absorbed dirs hand tracking over

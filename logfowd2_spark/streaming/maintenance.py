@@ -70,6 +70,18 @@ def table_scan(spark: SparkSession, cfg: PipelineConfig,
     from logfowd2_spark.streaming.commit import read_table_manifest  # noqa: PLC0415
 
     df = _table_scan_resolve(spark, cfg, ids, predicates=predicates)
+    return apply_table_surface(df, cfg)
+
+
+def apply_table_surface(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The table-level schema surface (drop/rename evolution recorded
+    in ``_TABLE.json``) applied to an arbitrary frame of this table's
+    rows — shared by ``table_scan`` and the CDC changelog assembly in
+    ``follower.poll_changes`` so inserts and retractions always union
+    under the SAME column set (a mixed union pads with nulls and the
+    multiset replay invariant silently breaks on evolved tables)."""
+    from logfowd2_spark.streaming.commit import read_table_manifest  # noqa: PLC0415
+
     tman = read_table_manifest(os.path.join(cfg.output_path, "routed"))
     dropped = [c for c in (tman or {}).get("dropped_columns", [])
                if c in df.columns]
@@ -916,17 +928,20 @@ def merge_into(spark: SparkSession, cfg: PipelineConfig,
         # invisible to the log.  Idempotent re-merges find the keys
         # matched, so a duplicate record cannot occur for the same id.
         from logfowd2_spark.streaming.checkpoint import (  # noqa: PLC0415
-            BatchRecord, load_manifest, save_manifest,
+            BatchRecord, load_manifest, manifest_lock, save_manifest,
         )
 
         manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
-        log = load_manifest(manifest_path)
-        if not log.committed(merge_id):
-            log.record(BatchRecord(
-                batch_id=merge_id, input_files=[], rows_in=n_ins,
-                rows_parsed=n_ins, parse_failures=0, sink_counts={},
-                partition_metrics=[]))
-            save_manifest(log, manifest_path)
+        # locked read-modify-write: a streaming trigger registering its
+        # own batch between our load and save would otherwise be erased
+        with manifest_lock(manifest_path):
+            log = load_manifest(manifest_path)
+            if not log.committed(merge_id):
+                log.record(BatchRecord(
+                    batch_id=merge_id, input_files=[], rows_in=n_ins,
+                    rows_parsed=n_ins, parse_failures=0, sink_counts={},
+                    partition_metrics=[]))
+                save_manifest(log, manifest_path)
     return {"updated_rows": updated_rows, "inserted_rows": n_ins,
             "files_rewritten": files_rewritten,
             "insert_batch_id": merge_id, "dirs": dirs}
@@ -981,23 +996,24 @@ def recover_compactions(cfg: PipelineConfig) -> list[str]:
                  if str(b).startswith("merge-")]
     if merge_ids:
         from logfowd2_spark.streaming.checkpoint import (  # noqa: PLC0415
-            BatchRecord, load_manifest, save_manifest,
+            BatchRecord, load_manifest, manifest_lock, save_manifest,
         )
 
         manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
-        log = load_manifest(manifest_path)
-        missing = [b for b in merge_ids if not log.committed(b)]
-        if missing:
-            # the true commit position is lost with the crash; the end
-            # of the log is the only consistent backfill point (the
-            # rows become consumable NOW, exactly once)
-            for b in missing:
-                log.record(BatchRecord(
-                    batch_id=b, input_files=[], rows_in=0, rows_parsed=0,
-                    parse_failures=0, sink_counts={},
-                    partition_metrics=[]))
-            save_manifest(log, manifest_path)
-            healed = healed + [f"batch_log:{b}" for b in missing]
+        with manifest_lock(manifest_path):
+            log = load_manifest(manifest_path)
+            missing = [b for b in merge_ids if not log.committed(b)]
+            if missing:
+                # the true commit position is lost with the crash; the
+                # end of the log is the only consistent backfill point
+                # (the rows become consumable NOW, exactly once)
+                for b in missing:
+                    log.record(BatchRecord(
+                        batch_id=b, input_files=[], rows_in=0,
+                        rows_parsed=0, parse_failures=0, sink_counts={},
+                        partition_metrics=[]))
+                save_manifest(log, manifest_path)
+                healed = healed + [f"batch_log:{b}" for b in missing]
     return healed
 
 

@@ -141,7 +141,7 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
         import time  # noqa: PLC0415
 
         from logfowd2_spark.streaming.checkpoint import (  # noqa: PLC0415
-            BatchRecord, load_manifest, save_manifest,
+            BatchRecord, load_manifest, manifest_lock, save_manifest,
         )
         from logfowd2_spark.streaming.metrics import emit_metrics  # noqa: PLC0415
 
@@ -160,36 +160,38 @@ def streaming_pipeline(spark: SparkSession, cfg: PipelineConfig,
         manifest_path = os.path.join(cfg.checkpoint_path, "manifest.json")
         # kept on the driver between triggers (foreachBatch is single-
         # threaded per query) so the steady state skips the O(committed
-        # batches) re-parse — but revalidated by (mtime_ns, size)
-        # against the file on every trigger: another writer (merge_into
-        # registering its insert batch) may have appended to the log,
-        # and saving a stale cached copy would erase that entry
-        # (lost-update clobber)
-        try:
-            st = os.stat(manifest_path)
-            sig = (st.st_mtime_ns, st.st_size)
-        except OSError:
-            sig = None
-        if state.get("manifest_sig") != sig or "manifest" not in state:
-            state["manifest"] = load_manifest(manifest_path)
-        man = state["manifest"]
-        if not man.committed(bid):
-            man.record(BatchRecord(
-                batch_id=bid,
-                input_files=[],  # tracked by the stream's own source log
-                rows_in=m.rows_in,
-                rows_parsed=m.rows_parsed,
-                parse_failures=m.parse_failures,
-                sink_counts=m.sink_counts,
-                partition_metrics=m.partition_metrics,
-                failure_counts=m.failure_counts,
-            ))
-            save_manifest(man, manifest_path)
-            try:  # our own save is the new baseline for the staleness
-                st = os.stat(manifest_path)  # check above
-                state["manifest_sig"] = (st.st_mtime_ns, st.st_size)
+        # batches) re-parse — revalidated by (mtime_ns, size) against
+        # the file, and the whole revalidate→record→save cycle runs
+        # under manifest_lock: another writer (merge_into registering
+        # its insert batch, recover_compactions backfilling) may save
+        # between our load and save, and without the lock the stat
+        # check only narrows the lost-update window, it cannot close it
+        with manifest_lock(manifest_path):
+            try:
+                st = os.stat(manifest_path)
+                sig = (st.st_mtime_ns, st.st_size)
             except OSError:
-                state.pop("manifest_sig", None)
+                sig = None
+            if state.get("manifest_sig") != sig or "manifest" not in state:
+                state["manifest"] = load_manifest(manifest_path)
+            man = state["manifest"]
+            if not man.committed(bid):
+                man.record(BatchRecord(
+                    batch_id=bid,
+                    input_files=[],  # tracked by the stream's source log
+                    rows_in=m.rows_in,
+                    rows_parsed=m.rows_parsed,
+                    parse_failures=m.parse_failures,
+                    sink_counts=m.sink_counts,
+                    partition_metrics=m.partition_metrics,
+                    failure_counts=m.failure_counts,
+                ))
+                save_manifest(man, manifest_path)
+                try:  # our own save is the new baseline for staleness
+                    st = os.stat(manifest_path)
+                    state["manifest_sig"] = (st.st_mtime_ns, st.st_size)
+                except OSError:
+                    state.pop("manifest_sig", None)
         state["batches"] += 1
         gauges.observe(m.wall_ms, failed=not m.conservation_ok())
         if len(window) == window.maxlen:
