@@ -144,11 +144,19 @@ r AS (SELECT source, term, tf, df, round(score, 4) AS score,
 SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 5
 """
 
+# Engine-side formulation (round 6): the oracle's ``words`` CTE is
+# referenced twice (tf and dfx) and Spark INLINES it, so the explode ran
+# twice and the per-term document frequency re-aggregated the raw word
+# stream.  Here dfx is derived FROM tf — count(*) of tf's (source, w)
+# groups ≡ count(DISTINCT source) per w, exactly — so the explode
+# appears once per reference and the two identical tf subtrees share
+# one computation via exchange reuse.  Identical output.
 _TFIDF_SPARK = """
-WITH words AS (
-  SELECT source, explode(split(text, ' ')) AS w FROM documents),
-tf AS (SELECT source, w, count(*) AS tf FROM words GROUP BY 1, 2),
-dfx AS (SELECT w, count(DISTINCT source) AS df FROM words GROUP BY 1),
+WITH tf AS (
+  SELECT source, w, count(*) AS tf
+  FROM (SELECT source, explode(split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
 ns AS (SELECT count(DISTINCT source) AS n FROM documents),
 scored AS (
   SELECT tf.source, tf.w AS term, tf.tf, dfx.df,
