@@ -1300,7 +1300,23 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fitted codebook loses no recall: a planted copy (e·1.001) has the
     # same cosine to every centroid as its base (up to fp noise far
     # below any centroid margin), hence the same probe buckets.
-    cents = fit_ivf_centroids(base)
+    #
+    # Codebook size scales with the corpus (round 6): within-bucket
+    # verification is O(bucket²·dim) BLAS, and a FIXED k means bucket
+    # size — hence per-bucket cost×memory — grows linearly (a 10×
+    # corpus measured 50 s vs 1.2 s: pure bucket quadratics).  k =
+    # √n keeps expected bucket size ≈ probes·√n, the classical IVF
+    # sizing; k is floored at the historical 16 (so the driver's
+    # correctness SFs, whose corpora are small, run the identical
+    # codebook as before) and capped by the k-means sample size.
+    # Output invariance does not depend on k: candidates only ever
+    # SHRINK the verified set vs brute force, the oracle is the brute
+    # force, and planted copies co-bucket with their base under any
+    # codebook (same cosine profile ⇒ same probe order).
+    n_aug = base.count()
+    n_aug += n_aug // 10  # planted copies (vec_id % 10 == 0)
+    k_eff = max(IVF_CENTROIDS, int(n_aug ** 0.5) + 1)
+    cents = fit_ivf_centroids(base, k=min(k_eff, 4096))
     if not cents:  # empty corpus: no pairs, stable schema
         return spark.createDataFrame(
             [], "a_id long, b_id long, cos_sim double")
