@@ -160,25 +160,34 @@ def parse_lines(df: DataFrame, cfg: PipelineConfig,
             ),
         }
     )
-    df = df.withColumn(
-        "parse_ok",
+    # parse_ok + failure_reason in ONE batched projection (driver-side
+    # analysis is per-batch latency); the ok predicate is cheap boolean
+    # work over already-materialized columns, so inlining it into the
+    # failure CASE costs nothing at run time
+    ok = (
         (F.col("level") != "")
         & F.col("ts").isNotNull()
         & (F.col("namespace") != "")
-        & (F.size("_parts") == 4),
+        & (F.size("_parts") == 4)
     )
-    # granular reasons, first-match priority (structure before fields)
-    df = df.withColumn(
-        "failure_reason",
-        F.when(F.col("parse_ok"), F.lit(None).cast("string"))
-        # \s (not trim): trim strips spaces only, but a tab-only line is
-        # whitespace-empty too (matches the oracle's str.strip contract)
-        .when(F.length(F.regexp_replace(F.col("line"), r"\s", "")) == 0,
-              F.lit("empty_line"))
-        .when(F.size("_parts") < 4, F.lit("missing_fields"))
-        .when(~ts_ok | F.col("ts").isNull(), F.lit("bad_timestamp"))
-        .when(~level_ok, F.lit("bad_level"))
-        .otherwise(F.lit("bad_path")),
+    df = df.withColumns(
+        {
+            "parse_ok": ok,
+            # granular reasons, first-match priority (structure first)
+            "failure_reason":
+                F.when(ok, F.lit(None).cast("string"))
+                # \s (not trim): trim strips spaces only, but a tab-only
+                # line is whitespace-empty too (matches the oracle's
+                # str.strip contract)
+                .when(F.length(
+                    F.regexp_replace(F.col("line"), r"\s", "")) == 0,
+                    F.lit("empty_line"))
+                .when(F.size("_parts") < 4, F.lit("missing_fields"))
+                .when(~ts_ok | F.col("ts").isNull(),
+                      F.lit("bad_timestamp"))
+                .when(~level_ok, F.lit("bad_level"))
+                .otherwise(F.lit("bad_path")),
+        }
     )
     return df.drop("_parts")
 
